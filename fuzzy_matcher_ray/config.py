@@ -1,0 +1,107 @@
+"""Pipeline configuration.
+
+The reference carries per-field dynamic parameters
+(``/root/reference/fuzzy_types/types.go:50-63``: MaxDepth/MaxEdits/Weights/
+CalculationMethods/MinDistances + core flags OCR on/off, global MaxEdits,
+expiration on/off). Here those become two small frozen dataclasses that are
+captured by value into ``map_batches`` callables — i.e. broadcast once per
+actor/task by Ray's closure serialization, never re-shipped per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Config for the near-duplicate detection pipelines (flagship).
+
+    Defaults follow BASELINE.json: 5-gram shingles, 128-perm MinHash,
+    LSH b=16 x r=8.
+    """
+
+    # --- shingling / signatures ---
+    shingle_k: int = 5              # char k-grams over normalized text
+    num_perms: int = 128            # MinHash permutations
+    bands: int = 16                 # LSH bands
+    rows_per_band: int = 8          # rows per band (bands*rows == num_perms)
+    seed: int = 0x5EED_F00D         # all hash-parameter derivation
+    # --- thresholds ---
+    jaccard_threshold: float = 0.8  # verified-pair acceptance
+    simhash_hamming_max: int = 3    # SimHash pass: max Hamming distance
+    # --- gates (≙ ValidateEntry short-name rule, example_source.go:84-101) ---
+    min_text_len: int = 20          # shorter normalized docs → exact-only tier
+    ocr_fold: bool = True           # fold OCR confusables before hashing
+    # --- candidate generation skew handling ---
+    max_band_group: int = 64        # groups larger than this emit star+chain
+    # edges instead of all-pairs (connectivity-preserving skew cap)
+    salt_buckets: int = 8           # salt fan-out for giant groups
+    # --- substring dedup ---
+    substr_window: int = 50         # fingerprint window (chars, normalized)
+    substr_winnow: int = 16         # winnowing band: 1 fingerprint per w pos
+    substr_min_len: int = 200       # min shared substring to count as dup
+    # --- clustering ---
+    driver_uf_max_edges: int = 2_000_000  # below this, exact driver union-find
+    max_label_rounds: int = 12      # distributed min-label propagation cap
+    # --- execution ---
+    batch_size: int = 1024          # docs per batch through minhash stage
+    minhash_actors: tuple = (2, 8)  # actor-pool autoscaling bounds
+    join_num_partitions: int = 32   # hash-join partitioning (∝ CPUs)
+    # --- TTL (≙ ExpiryHeap, clean.go:29-51, as a read-time predicate) ---
+    ttl_mode: bool = False
+
+    def config_hash(self) -> str:
+        """Stable hash of all semantic parameters — keys checkpoint manifests."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
+
+
+# Per-field calculation methods — ≙ CalculationMethod enum fuzzy_types/types.go:8-15
+METHOD_JARO_WINKLER = "jaro_winkler"
+METHOD_LEVENSHTEIN = "levenshtein"
+METHOD_EXACT = "exact"  # reference "Default": constant 1.0, gating upstream
+
+
+@dataclass(frozen=True)
+class FieldParams:
+    """≙ FuzzyMatcherParameters for one field (fuzzy_types/types.go:50-56)."""
+
+    weight: float = 1.0
+    method: str = METHOD_JARO_WINKLER
+    min_similarity: float = 0.7     # ≙ MinDistances: reject below
+    max_edits: int = 2              # 0 → exact-only field
+    required: bool = True           # missing ⇒ reject (fuzzy_matcher_core.go:230-234)
+
+
+@dataclass(frozen=True)
+class EntityMatchConfig:
+    """Config for the entity-match pipeline (reference Search parity).
+
+    Default field set mirrors the reference example source
+    (``/root/reference/fuzzy_classes/example_source.go:20-81``): weights
+    firstname 0.2 / surname 0.4 / birthdate 0.4, min sims 0.7/0.9/1.0,
+    methods jaro/jaro/exact; weights sum to 1.0
+    (integration_test.go:365-402 invariant).
+    """
+
+    fields: dict = field(default_factory=lambda: {
+        "firstname": FieldParams(0.2, METHOD_JARO_WINKLER, 0.7, 2),
+        "surname": FieldParams(0.4, METHOD_JARO_WINKLER, 0.9, 2),
+        "birthdate": FieldParams(0.4, METHOD_EXACT, 1.0, 0),
+    })
+    global_max_edits: int = 4       # ≙ CoreParams.MaxEdits (clean.go:54-90)
+    top_k: int = 5                  # ≙ sort+truncate fuzzy_matcher_core.go:281-287
+    min_score: float = 0.0
+    gram_k: int = 2                 # blocking n-gram size (candidate generation)
+    ocr_fold: bool = True
+    # short-field exact-only tier ≙ example_source.go:28-39:
+    # avg(len(first), len(sur)) <= 3.5 ⇒ exact-only
+    short_avg_len: float = 3.5
+
+    def __post_init__(self):
+        total = sum(p.weight for p in self.fields.values())
+        if abs(total - 1.0) > 1e-9:
+            raise ValueError(f"field weights must sum to 1.0, got {total}")

@@ -1,0 +1,74 @@
+"""MinHash signatures + LSH band hashes, fully vectorized.
+
+This is the scalable replacement for the reference's bounded-edit trie search
+(``/root/reference/fuzzy_matcher_core/recurse.go:67-175``): the edit-bounded
+exploration radius becomes the LSH band parameters (b=16, r=8 per
+BASELINE.json). Permutations are multiply-add hashes over 64-bit shingle
+hashes — ``h' = a*h + b (mod 2^64)`` with odd ``a`` — derived deterministically
+from the config seed, so signatures are reproducible across processes,
+parallelism levels and resumes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fuzzy_matcher_ray.functions.shingle import counts_to_offsets, splitmix64
+
+EMPTY_SIG = np.uint64(0xFFFFFFFFFFFFFFFF)
+_PERM_CHUNK = 32  # perms processed at once: bounds peak memory to m*32*8 bytes
+
+
+def perm_params(num_perms: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a, b) multiply-add parameters; a forced odd."""
+    rng = np.random.default_rng(seed ^ 0xA5A5_1234)
+    a = rng.integers(0, 2 ** 63, size=num_perms, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2 ** 63, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(hashes: np.ndarray, counts: np.ndarray,
+                       a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_docs, num_perms) uint64 signature matrix.
+
+    Documents with zero shingles get all-EMPTY_SIG rows (excluded from
+    banding by the caller — they take the exact-only tier).
+    """
+    n_docs = len(counts)
+    num_perms = len(a)
+    sig = np.full((n_docs, num_perms), EMPTY_SIG, dtype=np.uint64)
+    if hashes.size == 0:
+        return sig
+    nonempty = counts > 0
+    ne_counts = counts[nonempty]
+    seg_starts = counts_to_offsets(ne_counts)[:-1]
+    for lo in range(0, num_perms, _PERM_CHUNK):
+        hi = min(lo + _PERM_CHUNK, num_perms)
+        # (m, chunk) permuted hashes, uint64 wraparound
+        hp = hashes[:, None] * a[None, lo:hi] + b[None, lo:hi]
+        mins = np.minimum.reduceat(hp, seg_starts, axis=0)
+        sig[nonempty, lo:hi] = mins
+    return sig
+
+
+def band_hashes(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n_docs, bands) uint64 — FNV-1a fold of each band's rows + finalizer.
+
+    Docs sharing a value in any band column are LSH candidates
+    (≙ candidate emission at trie terminals, utils.go:28-40).
+    """
+    n, p = sig.shape
+    assert p == bands * rows_per_band, (p, bands, rows_per_band)
+    cube = sig.reshape(n, bands, rows_per_band)
+    h = np.full((n, bands), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(rows_per_band):
+        h = (h ^ cube[:, :, j]) * prime
+    # mix band index in so identical row-content in different bands differs
+    h = splitmix64(h ^ np.arange(bands, dtype=np.uint64)[None, :])
+    return h
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """Estimated Jaccard = fraction of equal signature components (row-wise)."""
+    return (sig_a == sig_b).mean(axis=1)

@@ -1,0 +1,57 @@
+"""64-bit SimHash + Hamming-band keys (vectorized).
+
+Second near-dup pass of the flagship pipeline (north rule): catches
+high-overlap documents whose Jaccard sits just under the MinHash S-curve.
+Standard construction (Charikar 2002): per document, sum the ±1 bit vectors of
+its feature hashes; sign → bit. Banding: a 64-bit simhash split into
+``blocks`` equal blocks; two docs within Hamming distance d share at least one
+identical block when blocks > d (pigeonhole), so grouping on
+(block_id, block_value) is a complete candidate generator for distance
+<= blocks - 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fuzzy_matcher_ray.functions.shingle import counts_to_offsets
+
+_BITS = np.arange(64, dtype=np.uint64)
+
+
+def simhash_batch(hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """(n_docs,) uint64 simhash per doc from concatenated shingle hashes.
+
+    Zero-shingle docs get simhash 0 (callers exclude them from banding).
+    """
+    n_docs = len(counts)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if hashes.size == 0:
+        return out
+    # (m, 64) int8 bit matrix — memory m*64 bytes per batch
+    bits = ((hashes[:, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int32)
+    nonempty = counts > 0
+    seg_starts = counts_to_offsets(counts[nonempty])[:-1]
+    sums = np.add.reduceat(bits, seg_starts, axis=0)          # (n_nonempty, 64)
+    majority = (2 * sums) > counts[nonempty, None]
+    vals = (majority.astype(np.uint64) << _BITS[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = vals
+    return out
+
+
+def simhash_blocks(sim: np.ndarray, blocks: int = 4) -> np.ndarray:
+    """(n, blocks) uint64 block values (16-bit chunks for blocks=4)."""
+    width = 64 // blocks
+    mask = np.uint64((1 << width) - 1)
+    shifts = (np.arange(blocks, dtype=np.uint64) * np.uint64(width))
+    return (sim[:, None] >> shifts[None, :]) & mask
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a^b for uint64 arrays."""
+    x = a ^ b
+    # SWAR popcount
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
