@@ -48,7 +48,7 @@ class PipelineConfig:
     max_label_rounds: int = 12      # distributed min-label propagation cap
     # --- execution ---
     batch_size: int = 1024          # docs per batch through minhash stage
-    minhash_actors: tuple = (2, 8)  # actor-pool autoscaling bounds
+    minhash_actors: tuple = (1, 8)  # actor-pool autoscaling bounds
     join_num_partitions: int = 32   # hash-join partitioning (∝ CPUs)
     # --- TTL (≙ ExpiryHeap, clean.go:29-51, as a read-time predicate) ---
     ttl_mode: bool = False

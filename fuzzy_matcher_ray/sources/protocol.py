@@ -1,0 +1,55 @@
+"""Source protocol: adapt any Parquet table to the canonical doc shape.
+
+≙ ``FuzzyMatcherDataSource`` (``/root/reference/fuzzy_types/types.go:102-105``
+— CreateFuzzyEntry + GetSearchParameters): a source is a function that turns a
+table path into a Dataset with the canonical columns
+
+    doc_id:int64, url:string, text:string, lang:string [, valid_until:ts]
+
+Column pruning happens at the read (``read_parquet(columns=...)``) so unused
+payload never leaves storage — ≙ BenchmarkSource indexing only 3 of 15
+columns (benchmark_source.go:82-91).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+
+def documents_source(sf_dir: str):
+    """Driver testdata ``documents`` table → canonical docs."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+
+    def _adapt(t: pa.Table) -> pa.Table:
+        url = pc.binary_join_element_wise(
+            pa.array(["doc://"] * len(t)),
+            pc.cast(t["doc_id"], pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "url": url,
+                         "text": t["text"], "lang": t["lang"]})
+
+    return ds.map_batches(_adapt, batch_format="pyarrow")
+
+
+def webpages_source(path: str):
+    """Common-Crawl-style table (url, warc_ts, html, text, lang) → canonical.
+
+    The wide ``html`` binary column is pruned AT THE READ — it never enters
+    the pipeline (text extraction is assumed upstream per the input_hint's
+    byte-identical-text invariant; see sources/webpages.py for the synthetic
+    generator that honors it).
+    """
+    ds = rd.read_parquet(path, columns=["url", "warc_ts", "text", "lang"])
+
+    def _adapt(t: pa.Table) -> pa.Table:
+        from fuzzy_matcher_ray.functions.fingerprint import content_hash
+        # stable surrogate id = 63-bit hash of url (sign-safe int64)
+        h = content_hash(t["url"].combine_chunks()
+                         if isinstance(t["url"], pa.ChunkedArray) else t["url"])
+        doc_id = pa.array((h >> 1).astype("int64"))
+        return pa.table({"doc_id": doc_id, "url": t["url"], "text": t["text"],
+                         "lang": t["lang"], "warc_ts": t["warc_ts"]})
+
+    return ds.map_batches(_adapt, batch_format="pyarrow")

@@ -1,0 +1,116 @@
+"""Connected components over verified edges → (doc_id, cluster_id).
+
+The reference returns pairwise matches only (clustering left to the caller,
+SURVEY.md §2.6); the north rule requires cluster assignments, so this stage
+closes the transitive hull. Representative = **min doc_id** of the component
+(deterministic — no wall-clock or randomness anywhere).
+
+Two strategies:
+
+- ``driver``: collect edges (they are O(duplicates), orders of magnitude
+  smaller than the corpus) and run exact union-find with path compression.
+  Chosen automatically when |edges| <= cfg.driver_uf_max_edges.
+- ``distributed``: iterative min-label propagation entirely in Dataset ops —
+  per round, attach current labels to both edge endpoints (hash join),
+  emit (node, min(label_a, label_b)) messages both ways plus identity rows,
+  and ``groupby(node).min()``. Labels decrease monotonically, so the sum of
+  labels is a strictly decreasing fixpoint witness; rounds are bounded by
+  cfg.max_label_rounds. Convergence takes O(max cluster diameter) rounds —
+  small here because hot-group star edges (stages/candidates.py) keep
+  diameters tiny. (Pointer-jumping halving, as in the BTS/alternating
+  algorithms from PAPERS.md, can be layered on; unnecessary at these depths.)
+
+Both paths produce identical output (asserted in tests).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min
+
+from fuzzy_matcher_ray.config import PipelineConfig
+from fuzzy_matcher_ray.functions.unionfind import connected_components
+from fuzzy_matcher_ray.stages.joins import attach_columns
+
+
+def cluster_edges(edges, docs, cfg: PipelineConfig, strategy: str = "auto"):
+    """edges (a:int64, b:int64) + docs (doc_id) → (doc_id, cluster_id).
+
+    Every doc appears exactly once; singletons get cluster_id = doc_id.
+    """
+    if strategy == "auto":
+        n_edges = edges.count()
+        strategy = "driver" if n_edges <= cfg.driver_uf_max_edges else "distributed"
+    if strategy == "driver":
+        labels_ds = _driver_labels(edges)
+    else:
+        labels_ds = _distributed_labels(edges, cfg)
+    out = attach_columns(docs.select_columns(["doc_id"]), labels_ds,
+                         "doc_id", "node", {"label": "cluster_id"}, how="left",
+                         num_partitions=cfg.join_num_partitions)
+
+    def _fill(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cid = pc.coalesce(pc.cast(t["cluster_id"], pa.int64()), t["doc_id"])
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": cid})
+
+    return out.map_batches(_fill, batch_format="pyarrow")
+
+
+def _collect_edges(edges) -> tuple[np.ndarray, np.ndarray]:
+    a_parts, b_parts = [], []
+    for batch in edges.select_columns(["a", "b"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"):
+        a_parts.append(batch["a"].to_numpy(zero_copy_only=False))
+        b_parts.append(batch["b"].to_numpy(zero_copy_only=False))
+    if not a_parts:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def _driver_labels(edges):
+    ea, eb = _collect_edges(edges)
+    nodes, labels = connected_components(ea, eb)
+    return rd.from_arrow(pa.table({"node": pa.array(nodes),
+                                   "label": pa.array(labels)}))
+
+
+def _distributed_labels(edges, cfg: PipelineConfig):
+    P = cfg.join_num_partitions
+    # node universe = distinct endpoints; initial label = node id
+    ends = edges.select_columns(["a"]).rename_columns({"a": "node"}).union(
+        edges.select_columns(["b"]).rename_columns({"b": "node"}))
+    labels = ends.groupby("node").count().select_columns(["node"]).map_batches(
+        lambda t: t.append_column("label", t["node"]), batch_format="pyarrow")
+    prev_sum = None
+    for _ in range(cfg.max_label_rounds):
+        # strategy="auto": broadcast-attach while the label table fits
+        # (≤2M edge-touched nodes), hash join beyond — the per-round
+        # groupby(node).min() below is the distributed shuffle either way.
+        e = attach_columns(edges, labels, "a", "node", {"label": "la"},
+                           how="inner", num_partitions=P)
+        e = attach_columns(e, labels, "b", "node", {"label": "lb"},
+                           how="inner", num_partitions=P)
+
+        def _msgs(t: pa.Table) -> pa.Table:
+            m = np.minimum(t["la"].to_numpy(zero_copy_only=False),
+                           t["lb"].to_numpy(zero_copy_only=False))
+            return pa.table({
+                "node": pa.concat_arrays([
+                    t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"],
+                    t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) else t["b"]]),
+                "label": pa.array(np.concatenate([m, m])),
+            })
+
+        msgs = e.map_batches(_msgs, batch_format="pyarrow").union(labels)
+        labels = msgs.groupby("node").aggregate(Min("label", alias_name="label"))
+        labels = labels.materialize()
+        cur_sum = labels.sum("label")   # monotone witness (int64-safe in sandbox)
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

@@ -1,0 +1,128 @@
+"""Signature stages: MinHash band rows, SimHash block rows, winnow rows.
+
+≙ reference trie construction + search fan-out
+(``fuzzy_matcher_core.go:29-56`` Insert, ``recurse.go:67-175`` Recurse): the
+queryable in-RAM index dissolves into key-row datasets on the object store —
+docs sharing a key are LSH candidates.
+
+All three are **actor-pool** callables: permutation parameters / constants are
+derived once per actor in ``__init__`` (never per batch), per-batch work is a
+single vectorized numpy pass over the concatenated batch bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fuzzy_matcher_ray.config import PipelineConfig
+from fuzzy_matcher_ray.functions.fingerprint import winnow_batch
+from fuzzy_matcher_ray.functions.minhash import band_hashes, minhash_signatures, perm_params
+from fuzzy_matcher_ray.functions.shingle import shingle_batch
+from fuzzy_matcher_ray.functions.simhash import simhash_batch, simhash_blocks
+from fuzzy_matcher_ray.stages.normalize_stage import TIER_FUZZY
+
+
+def _fuzzy_subset(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    return batch.filter(pc.equal(batch["tier"], TIER_FUZZY))
+
+
+class MinHasher:
+    """(doc_id, fold_text, tier) → band rows (band:int8, band_hash:uint64, doc_id).
+
+    16 rows per fuzzy-tier doc (b=16). Exact-only docs emit nothing — they are
+    handled by the content-hash pre-pass (≙ short-name exact tier,
+    example_source.go:28-39).
+    """
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.a, self.b = perm_params(cfg.num_perms, cfg.seed)   # once per actor
+        self.band_ids = np.arange(cfg.bands, dtype=np.int8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        batch = _fuzzy_subset(batch)
+        n = len(batch)
+        if n == 0:
+            return pa.table({"band": pa.array([], pa.int8()),
+                             "band_hash": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        hashes, counts = shingle_batch(batch["fold_text"], cfg.shingle_k, cfg.seed)
+        sig = minhash_signatures(hashes, counts, self.a, self.b)
+        bh = band_hashes(sig, cfg.bands, cfg.rows_per_band)      # (n, bands)
+        doc_ids = batch["doc_id"].to_numpy()
+        return pa.table({
+            "band": pa.array(np.tile(self.band_ids, n)),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+            "doc_id": pa.array(np.repeat(doc_ids, cfg.bands)),
+        })
+
+
+class SimHasher:
+    """(doc_id, fold_text, tier) → block rows
+    (block:int8, block_val:uint64, simhash:uint64, doc_id).
+
+    4 × 16-bit blocks: pigeonhole-complete for Hamming distance <= 3, the
+    backstop pass for near-threshold misses of the MinHash S-curve.
+    """
+
+    def __init__(self, cfg: PipelineConfig, blocks: int = 4):
+        self.cfg = cfg
+        self.blocks = blocks
+        self.block_ids = np.arange(blocks, dtype=np.int8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        batch = _fuzzy_subset(batch)
+        n = len(batch)
+        if n == 0:
+            return pa.table({"block": pa.array([], pa.int8()),
+                             "block_val": pa.array([], pa.int64()),
+                             "simhash": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        hashes, counts = shingle_batch(batch["fold_text"], cfg.shingle_k, cfg.seed)
+        sim = simhash_batch(hashes, counts)
+        blocks = simhash_blocks(sim, self.blocks)                # (n, blocks)
+        doc_ids = batch["doc_id"].to_numpy()
+        return pa.table({
+            "block": pa.array(np.tile(self.block_ids, n)),
+            "block_val": pa.array(blocks.reshape(-1).view(np.int64)),
+            "simhash": pa.array(np.repeat(sim, self.blocks).view(np.int64)),
+            "doc_id": pa.array(np.repeat(doc_ids, self.blocks)),
+        })
+
+
+class Winnower:
+    """(doc_id, norm_text, tier) → fingerprint rows (fp:uint64, doc_id).
+
+    Winnowed window fingerprints: any two docs sharing an exact substring of
+    length >= window + winnow - 1 share at least one fp — the co-location key
+    for the substring-dedup (suffix-array verify) stage.
+    """
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        batch = _fuzzy_subset(batch)
+        if len(batch) == 0:
+            return pa.table({"fp": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        fps, counts = winnow_batch(batch["norm_text"], cfg.substr_window,
+                                   cfg.substr_winnow, cfg.seed)
+        doc_ids = batch["doc_id"].to_numpy()
+        return pa.table({
+            "fp": pa.array(fps.view(np.int64)),
+            "doc_id": pa.array(np.repeat(doc_ids, counts)),
+        })
+
+
+def add_stage(docs_norm, cls, cfg: PipelineConfig, **kwargs):
+    """Run one of the signature stages as an autoscaling actor pool."""
+    return docs_norm.map_batches(
+        cls, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        batch_size=cfg.batch_size, concurrency=cfg.minhash_actors,
+        zero_copy_batch=True, **kwargs)

@@ -1,0 +1,78 @@
+"""Per-stage Parquet checkpoints with manifests (lineage + metrics).
+
+The reference has no checkpoint/resume (everything lives in one process
+heap); at 10^12-doc scale every stage must be resumable. Layout:
+
+    <root>/<stage>/data/part-*.parquet   — the stage output
+    <root>/<stage>/_MANIFEST.json        — config hash, rows, wall secs, schema
+
+``stage()`` returns the cached dataset when a manifest with the same config
+hash exists (the lineage key), else builds, writes atomically
+(tmp dir → os.replace) and records metrics. A killed run resumes by skipping
+every completed stage; sub-stage granularity comes from running the pipeline
+per input shard (each shard gets its own checkpoint root).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import ray.data as rd
+
+
+class Checkpointer:
+    def __init__(self, root: str, config_hash: str, enabled: bool = True):
+        self.root = root
+        self.config_hash = config_hash
+        self.enabled = enabled
+        self.metrics: dict[str, dict] = {}
+        if enabled:
+            os.makedirs(root, exist_ok=True)
+
+    def _paths(self, stage: str) -> tuple[str, str]:
+        d = os.path.join(self.root, stage)
+        return os.path.join(d, "data"), os.path.join(d, "_MANIFEST.json")
+
+    def has(self, stage: str) -> bool:
+        data_dir, manifest = self._paths(stage)
+        if not (os.path.isdir(data_dir) and os.path.isfile(manifest)):
+            return False
+        try:
+            with open(manifest) as f:
+                m = json.load(f)
+            return m.get("config_hash") == self.config_hash
+        except (json.JSONDecodeError, OSError):
+            return False
+
+    def stage(self, name: str, build_fn, materialize_if_disabled: bool = True):
+        """Return the stage dataset, from checkpoint if valid, else build+write."""
+        if not self.enabled:
+            ds = build_fn()
+            # multiple downstream consumers → pin blocks instead of recompute
+            return ds.materialize() if materialize_if_disabled else ds
+        data_dir, manifest = self._paths(name)
+        if self.has(name):
+            self.metrics.setdefault(name, {})["resumed"] = True
+            return rd.read_parquet(data_dir)
+        t0 = time.perf_counter()
+        ds = build_fn()
+        tmp = os.path.join(self.root, name, f".tmp-{uuid.uuid4().hex[:8]}")
+        os.makedirs(os.path.dirname(tmp), exist_ok=True)
+        ds.write_parquet(tmp)
+        if os.path.isdir(data_dir):
+            shutil.rmtree(data_dir)
+        os.replace(tmp, data_dir)
+        out = rd.read_parquet(data_dir)
+        rows = out.count()
+        wall = time.perf_counter() - t0
+        m = {"stage": name, "config_hash": self.config_hash, "rows": rows,
+             "wall_sec": round(wall, 3), "resumed": False,
+             "columns": out.schema().names}
+        with open(manifest, "w") as f:
+            json.dump(m, f, indent=2)
+        self.metrics[name] = m
+        return out
