@@ -1,0 +1,100 @@
+"""Streaming-shaped operators over the ``events`` table.
+
+Ray Data is a batch engine (no watermarks); the stream semantics here follow
+the guide pattern: the table is an ordered log, windows are per-key
+``groupby(...).map_groups`` over ts-sorted groups, and TTL expiry is a
+read-time predicate (≙ the reference expiry heap ``Clean``, clean.go:29-51,
+applied on every Search).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+TTL_CUTOFF = "2024-01-15 00:00:00"   # fixed, deterministic (no wall-clock)
+
+
+def _events(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def events_alive_by_type(sf_dir: str, cutoff: str = TTL_CUTOFF):
+    """TTL filter + grouped aggregate: events at/after the cutoff survive;
+    count + value sum per event_type (value rounded 6dp)."""
+    from ray.data.aggregate import Count, Sum
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+    import numpy as np
+    cut = pa.scalar(np.datetime64(cutoff.replace(" ", "T"), "us"), pa.timestamp("us"))
+    alive = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], cut)),
+        batch_format="pyarrow")
+    out = alive.groupby("event_type").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+
+    def _round(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "n_events": t["n_events"],
+                         "total_value": pc.round(t["total_value"], ndigits=6, round_mode="half_towards_infinity")})
+    return out.map_batches(_round, batch_format="pyarrow").sort("event_type")
+
+
+def user_hourly_windows(sf_dir: str, max_users: int = 40):
+    """Tumbling 1-hour windows per user: (user_id, window_start, n, sum value).
+
+    Window assignment is a vectorized ts truncation inside ``map_batches``
+    (shuffle-free), then one grouped aggregate over (user, window) — the
+    partial-aggregate-then-small-groupby pattern for stream windows at scale.
+    """
+    from ray.data.aggregate import Count, Sum
+    ds = _events(sf_dir, ["ts", "user_id", "value"])
+
+    def _assign(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["user_id"], pa.scalar(max_users))
+        t = t.filter(keep)
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"user_id": t["user_id"], "window_start": win,
+                         "value": t["value"]})
+
+    assigned = ds.map_batches(_assign, batch_format="pyarrow")
+    out = assigned.groupby(["user_id", "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+
+    def _round(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "window_start": t["window_start"],
+                         "n_events": t["n_events"],
+                         "total_value": pc.round(t["total_value"], ndigits=6, round_mode="half_towards_infinity")})
+    return out.map_batches(_round, batch_format="pyarrow").sort(
+        ["user_id", "window_start"])
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30, max_users: int = 20):
+    """Session windows: per-user ts-sorted scan, session breaks at gaps >
+    ``gap_minutes``. (user_id, session_start, n_events) — the per-key ordered
+    ``map_groups`` pattern for stateful stream semantics."""
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def _pre(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["user_id"], pa.scalar(max_users)))
+
+    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        sid = gap.cumsum()
+        out = g.groupby(sid).agg(session_start=("ts", "min"),
+                                 n_events=("ts", "size"))
+        out["user_id"] = g["user_id"].iloc[0]
+        return out.reset_index(drop=True)[["user_id", "session_start", "n_events"]]
+
+    out = ds.map_batches(_pre, batch_format="pyarrow") \
+            .groupby("user_id").map_groups(_sessions, batch_format="pandas")
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "session_start": t["session_start"],
+                         "n_events": pc.cast(t["n_events"], pa.int64())})
+    return out.map_batches(_cast, batch_format="pyarrow").sort(
+        ["user_id", "session_start"])

@@ -1,0 +1,166 @@
+"""Text-analysis pipelines over the ``documents`` table.
+
+Training-data operators (lang-id heuristic, quality counters, token counts,
+fingerprints) plus the normalize/exact-dedup query surface. All outputs use
+integer or exactly-reproducible columns so the DuckDB oracle hash-matches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from fuzzy_matcher_ray.config import PipelineConfig
+from fuzzy_matcher_ray.functions.fingerprint import winnow_batch
+from fuzzy_matcher_ray.functions.normalize import normalize_array
+from fuzzy_matcher_ray.functions.textstats import (
+    char_classes, quality_tier, stopword_hits, token_count)
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def normalized_text(sf_dir: str):
+    """(doc_id, norm_text) — the byte-identical normalization invariant
+    (normalize.go:9-15; oracle: regexp_replace(lower(text),'[^a-zA-Z0-9]+','','g'))."""
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "norm_text": normalize_array(t["text"])})
+    return _docs(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+
+def exact_dedup_first(sf_dir: str):
+    """Keep the min doc_id per normalized text (exact dedup winner list).
+
+    groupby(norm_text) is the hash-partitioned shuffle; at web scale the key
+    would be the 64-bit content hash (pipelines/dedup.py) — here the raw
+    string keys keep the SQL oracle exact.
+    """
+    from ray.data.aggregate import Min
+    ds = normalized_text(sf_dir)
+    kept = ds.groupby("norm_text").aggregate(Min("doc_id", alias_name="doc_id"))
+    return kept.select_columns(["doc_id"]).sort("doc_id")
+
+
+def exact_clusters(sf_dir: str):
+    """(doc_id, cluster_id) where cluster_id = min doc_id sharing norm text."""
+    from ray.data.aggregate import Min
+    ds = normalized_text(sf_dir)
+    reps = ds.groupby("norm_text").aggregate(Min("doc_id", alias_name="cluster_id"))
+    from fuzzy_matcher_ray.stages.joins import attach_columns
+    out = attach_columns(ds, reps, "norm_text", "norm_text",
+                         {"cluster_id": "cluster_id"}, how="inner")
+    return out.select_columns(["doc_id", "cluster_id"]).sort("doc_id")
+
+
+def token_counts(sf_dir: str):
+    """(doc_id, n_tokens) — whitespace-delimited token count."""
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pc.cast(token_count(t["text"]), pa.int64())})
+    return _docs(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+
+def text_quality(sf_dir: str):
+    """(doc_id, n_chars_total, n_alpha, n_digit, n_space, stop_hits, tier).
+
+    Integer quality counters + the coarse gate tier (≙ ValidateEntry,
+    example_source.go:84-101).
+    """
+    def _f(t: pa.Table) -> pa.Table:
+        cls = char_classes(t["text"])
+        hits = stopword_hits(t["text"])
+        toks = token_count(t["text"])
+        tier = quality_tier(
+            toks.to_numpy(zero_copy_only=False).astype(np.int64),
+            cls["n_chars_total"].to_numpy(zero_copy_only=False).astype(np.int64),
+            hits.to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars_total": pc.cast(cls["n_chars_total"], pa.int64()),
+            "n_alpha": pc.cast(cls["n_alpha"], pa.int64()),
+            "n_digit": pc.cast(cls["n_digit"], pa.int64()),
+            "n_space": pc.cast(cls["n_space"], pa.int64()),
+            "stop_hits": hits,
+            "tier": pa.array(tier.astype(np.int64)),
+        })
+    return _docs(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+
+def lang_guess(sf_dir: str):
+    """(doc_id, lang_guess) — stopword-hit heuristic ('en' vs 'other')."""
+    def _f(t: pa.Table) -> pa.Table:
+        hits = stopword_hits(t["text"])
+        guess = pc.if_else(pc.greater(hits, pa.scalar(0)),
+                           pa.scalar("en"), pa.scalar("other"))
+        return pa.table({"doc_id": t["doc_id"], "lang_guess": guess})
+    return _docs(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+
+def topk_longest(sf_dir: str, k: int = 10):
+    """Top-k docs by char length (desc), doc_id asc tiebreak — global
+    sort+limit (≙ sort+truncate, fuzzy_matcher_core.go:281-287)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+
+
+def docs_by_lang_source(sf_dir: str):
+    """Grouped aggregate: count + total chars per (lang, source)."""
+    from ray.data.aggregate import Count, Sum
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "source", "n_chars"])
+    out = ds.groupby(["lang", "source"]).aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+    return out.sort(["lang", "source"])
+
+
+def remove_tombstoned(sf_dir: str, modulus: int = 97):
+    """Anti-join removal (≙ RemoveEntries, clean.go:93-134): tombstones =
+    doc_ids divisible by ``modulus``; returns surviving (doc_id) sorted."""
+    from fuzzy_matcher_ray.state.tombstones import remove_ids
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _tombs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % modulus == 0))
+
+    tombs = docs.map_batches(_tombs, batch_format="pyarrow")
+    return remove_ids(docs, tombs).sort("doc_id")
+
+
+def ngram_jaccard_adjacent(sf_dir: str, k: int = 5):
+    """Verify-kernel parity query: exact k-gram Jaccard of consecutive-id doc
+    pairs, rounded to 6 dp (SQL oracle recomputes via substring unnest)."""
+    from fuzzy_matcher_ray.stages.verify import JaccardVerifier, attach_pair_texts
+    cfg = PipelineConfig(shingle_k=k)
+    ds = normalized_text(sf_dir).materialize()
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["doc_id"],
+                         "b": pc.add(t["doc_id"], pa.scalar(1, pa.int64()))})
+    pairs = ds.map_batches(_pairs, batch_format="pyarrow")
+    wt = attach_pair_texts(pairs, ds, cfg)     # inner join drops the last id
+    ver = wt.map_batches(JaccardVerifier(cfg, threshold=0.0), batch_format="pyarrow")
+
+    def _round(t: pa.Table) -> pa.Table:
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "jaccard": pc.round(t["jaccard"], ndigits=6, round_mode="half_towards_infinity")})
+    return ver.map_batches(_round, batch_format="pyarrow").sort(["a", "b"])
+
+
+def fingerprint_counts(sf_dir: str, cfg: PipelineConfig | None = None):
+    """(doc_id, n_fingerprints) — winnowed fingerprint cardinality per doc
+    (rolling-hash document fingerprinting; no SQL oracle)."""
+    cfg = cfg or PipelineConfig()
+
+    def _f(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"])
+        _, counts = winnow_batch(norm, cfg.substr_window, cfg.substr_winnow, cfg.seed)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_fingerprints": pa.array(counts)})
+    return _docs(sf_dir).map_batches(_f, batch_format="pyarrow").sort("doc_id")
