@@ -40,8 +40,10 @@ class PipelineConfig:
     # edges instead of all-pairs (connectivity-preserving skew cap)
     salt_buckets: int = 8           # salt fan-out for giant groups
     # --- substring dedup ---
-    substr_window: int = 50         # fingerprint window (chars, normalized)
-    substr_winnow: int = 16         # winnowing band: 1 fingerprint per w pos
+    substr_window: int = 100        # fingerprint window (chars, normalized)
+    substr_winnow: int = 64         # winnowing: min of each 64-hash window
+    # detection guarantee: shared substrings >= window + winnow - 1 (=163)
+    # chars always produce a shared fingerprint; substr_min_len=200 > 163.
     substr_min_len: int = 200       # min shared substring to count as dup
     # --- clustering ---
     driver_uf_max_edges: int = 2_000_000  # below this, exact driver union-find
@@ -49,6 +51,7 @@ class PipelineConfig:
     # --- execution ---
     batch_size: int = 1024          # docs per batch through minhash stage
     minhash_actors: tuple = (1, 8)  # actor-pool autoscaling bounds
+    signature_actor_pool: bool = False  # pool only when per-actor state is heavy
     join_num_partitions: int = 32   # hash-join partitioning (∝ CPUs)
     # --- TTL (≙ ExpiryHeap, clean.go:29-51, as a read-time predicate) ---
     ttl_mode: bool = False

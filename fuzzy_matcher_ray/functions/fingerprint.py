@@ -61,19 +61,53 @@ def winnow_batch(texts: pa.Array | pa.ChunkedArray, window: int, winnow: int,
     """
     hashes, counts = shingle_batch(texts, k=window, seed=seed ^ 0x51A3)
     n_docs = len(counts)
-    fp_chunks: list[np.ndarray] = []
-    fp_counts = np.zeros(n_docs, dtype=np.int64)
+    if hashes.size == 0:
+        return (np.empty(0, np.uint64), np.zeros(n_docs, dtype=np.int64),
+                np.empty(0, np.int64))
     offs = counts_to_offsets(counts)
-    for d in range(n_docs):
-        h = hashes[offs[d]: offs[d + 1]]
-        if h.size == 0:
-            continue
-        n_win = -(-h.size // winnow)                   # ceil division
-        pad = n_win * winnow - h.size
-        hp = np.pad(h, (0, pad), constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
-        mins = hp.reshape(n_win, winnow).min(axis=1)
-        u = np.unique(mins)
-        fp_chunks.append(u)
-        fp_counts[d] = len(u)
-    fps = np.concatenate(fp_chunks) if fp_chunks else np.empty(0, np.uint64)
-    return fps, fp_counts
+    # TRUE winnowing, one vectorized pass over the whole batch: min of every
+    # sliding window of `winnow` hashes — alignment-independent, so any
+    # shared substring of length >= window + winnow - 1 selects at least one
+    # identical fingerprint in both documents (Schleimer et al. guarantee).
+    sel_chunks: list[np.ndarray] = []
+    if hashes.size >= winnow:
+        sw = np.lib.stride_tricks.sliding_window_view(hashes, winnow)
+        # argmin on the strided view is ~10x slower than on contiguous data —
+        # chunked contiguous copies keep memory bounded and speed high
+        rel = np.empty(len(sw), dtype=np.int64)
+        CH = 1 << 18
+        for lo in range(0, len(sw), CH):
+            rel[lo:lo + CH] = np.ascontiguousarray(sw[lo:lo + CH]).argmin(axis=1)
+        g = np.arange(len(sw), dtype=np.int64)
+        pos_all = rel + g                       # global index of each window min
+        # keep windows fully inside one doc: start >= off[d], start+w <= off[d+1]
+        w_counts = np.maximum(counts - winnow + 1, 0)
+        starts = offs[:-1]
+        from fuzzy_matcher_ray.functions.shingle import gather_ranges
+        valid_sel = gather_ranges(pos_all, starts, w_counts)
+        sel_chunks.append(valid_sel)
+    # docs with 0 < cnt < winnow: single min over the whole segment
+    small = (counts > 0) & (counts < winnow)
+    if small.any():
+        seg_starts = offs[:-1][small]
+        seg_mins = np.minimum.reduceat(hashes, seg_starts)
+        # argmin within segment: first position where value == min
+        for st, cnt, mn in zip(seg_starts, counts[small], seg_mins):
+            sel_chunks.append(np.array(
+                [st + int(np.argmax(hashes[st:st + cnt] == mn))], dtype=np.int64))
+    if not sel_chunks:
+        return (np.empty(0, np.uint64), np.zeros(n_docs, dtype=np.int64),
+                np.empty(0, np.int64))
+    sel = np.unique(np.concatenate(sel_chunks))     # global selected positions
+    doc_of = np.searchsorted(offs, sel, side="right") - 1
+    fp_vals = hashes[sel]
+    # per-doc dedup by fp value, keeping the first (lowest) position
+    order = np.lexsort((sel, fp_vals, doc_of))
+    d_s, f_s, p_s = doc_of[order], fp_vals[order], sel[order]
+    keep = np.empty(len(d_s), dtype=bool)
+    keep[0] = True
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (f_s[1:] != f_s[:-1])
+    d_k, f_k, p_k = d_s[keep], f_s[keep], p_s[keep]
+    fp_counts = np.bincount(d_k, minlength=n_docs).astype(np.int64)
+    positions = (p_k - offs[d_k]).astype(np.int64)  # doc-relative char offset
+    return f_k, fp_counts, positions

@@ -70,20 +70,19 @@ def shingle_batch(texts: pa.Array | pa.ChunkedArray, k: int,
     counts = np.maximum(offsets[1:] - offsets[:-1] - (k - 1), 0).astype(np.int64)
     if data.size < k:
         return np.empty(0, np.uint64), counts
-    # one rolling hash over the entire concatenated buffer
-    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-    powers = np.empty(k, dtype=np.uint64)
-    p = 1
-    for j in range(k - 1, -1, -1):      # uint64 wraparound is intended
-        powers[j] = p & 0xFFFFFFFFFFFFFFFF
-        p = (p * int(_P)) & 0xFFFFFFFFFFFFFFFF
-    raw = (windows * powers[None, :]).sum(axis=1, dtype=np.uint64)
+    # one rolling hash over the entire concatenated buffer — k Horner passes
+    # of O(m) each (constant memory; never materializes an (m, k) window
+    # matrix, which would be ~1 GB per batch at k=100)
+    m = data.size - k + 1
+    d64 = data.astype(np.uint64)
+    raw = np.zeros(m, dtype=np.uint64)
+    for j in range(k):                  # uint64 wraparound is intended
+        raw = raw * _P + d64[j: j + m]
     raw = splitmix64(raw ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
     # keep only windows fully inside one document
     starts = offsets[:-1]
     hashes = gather_ranges(raw, starts, counts)
     assert len(hashes) == counts.sum()
-    del windows
     return hashes, counts
 
 

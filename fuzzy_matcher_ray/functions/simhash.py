@@ -28,13 +28,16 @@ def simhash_batch(hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
     out = np.zeros(n_docs, dtype=np.uint64)
     if hashes.size == 0:
         return out
-    # (m, 64) int8 bit matrix — memory m*64 bytes per batch
-    bits = ((hashes[:, None] >> _BITS[None, :]) & np.uint64(1)).astype(np.int32)
     nonempty = counts > 0
     seg_starts = counts_to_offsets(counts[nonempty])[:-1]
-    sums = np.add.reduceat(bits, seg_starts, axis=0)          # (n_nonempty, 64)
-    majority = (2 * sums) > counts[nonempty, None]
-    vals = (majority.astype(np.uint64) << _BITS[None, :]).sum(axis=1, dtype=np.uint64)
+    ne_counts = counts[nonempty]
+    vals = np.zeros(len(ne_counts), dtype=np.uint64)
+    # per-bit 1D passes: contiguous shift/mask/reduceat are SIMD-fast, unlike
+    # the broadcast (m, 64) bit matrix (which also costs m*64 bytes)
+    for j in range(64):
+        bit = ((hashes >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        sums = np.add.reduceat(bit, seg_starts)
+        vals |= (((2 * sums) > ne_counts).astype(np.uint64) << np.uint64(j))
     out[nonempty] = vals
     return out
 

@@ -112,14 +112,78 @@ def simhash_edges(norm, cfg: PipelineConfig):
                                   batch_size=cfg.batch_size)
 
 
-def substring_edges(norm, cfg: PipelineConfig):
-    """Winnowed-fingerprint → suffix-array verified long-repeat edges."""
+def _exclude_known_pairs(pairs, known_edges, broadcast_max: int = 20_000_000):
+    """Anti-join pairs against an already-verified edge set on (a, b).
+
+    Broadcast a packed-key set while it fits; fall back to a hash-partitioned
+    left_anti join beyond (both sides keyed identically at any scale).
+    """
+    from fuzzy_matcher_ray.functions.shingle import splitmix64
+
+    def _pack_ab(t: pa.Table) -> np.ndarray:
+        a = t["a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = t["b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return splitmix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+
+    n = known_edges.count()
+    if n <= broadcast_max:
+        import ray
+        keys_parts = [
+            _pack_ab(t) for t in known_edges.select_columns(["a", "b"]).iter_batches(
+                batch_size=1 << 20, batch_format="pyarrow") if len(t)]
+        keys = np.unique(np.concatenate(keys_parts)) if keys_parts else np.empty(0, np.uint64)
+        ref = ray.put(keys)
+
+        def _f(t: pa.Table) -> pa.Table:
+            ks = ray.get(ref)
+            if len(ks) == 0 or len(t) == 0:
+                return t
+            k = _pack_ab(t)
+            idx = np.clip(np.searchsorted(ks, k), 0, len(ks) - 1)
+            return t.filter(pa.array(ks[idx] != k))
+
+        return pairs.map_batches(_f, batch_format="pyarrow")
+    from fuzzy_matcher_ray.stages.joins import JOIN_AGG_ARGS, effective_partitions
+    return pairs.join(known_edges.select_columns(["a", "b"]), "left_anti",
+                      effective_partitions(32), on=("a", "b"),
+                      aggregator_ray_remote_args=JOIN_AGG_ARGS)
+
+
+def substring_edges(norm, cfg: PipelineConfig, exclude_edges=None):
+    """Winnowed-fingerprint co-location → seed-extension-verified long-repeat
+    edges, with suffix-array verification where seeds can't decide.
+
+    Per pair we keep the Min and Max packed seed (pos_a<<21|pos_b) plus the
+    shared-fingerprint count. The verifier extends both seeds; if neither
+    reaches min_len and the pair shares >= 3 fingerprints, a suffix-array
+    LCP decides exactly (a >= window+winnow-1 repeat always contains >= 1
+    selected fingerprint, and a >= min_len=200 repeat contains >= 3, so a
+    pair with < 3 shared fps and two failed extensions cannot hide a
+    200-char repeat — rejected without SA).
+    """
     rows = add_stage(norm.select_columns(["doc_id", "norm_text", "tier"]),
                      Winnower, cfg)
-    pairs = key_pairs(rows, ["fp"], cfg)
-    with_texts = attach_pair_texts(pairs, norm.select_columns(["doc_id", "norm_text"]), cfg)
-    return with_texts.map_batches(SubstringVerifier(cfg), batch_format="pyarrow",
-                                  batch_size=256)
+
+    def _pack(t: pa.Table) -> pa.Array:
+        pa_ = t["pos_a"].to_numpy(zero_copy_only=False)
+        pb_ = t["pos_b"].to_numpy(zero_copy_only=False)
+        valid = (pa_ < (1 << 21)) & (pb_ < (1 << 21))   # docs > 2M chars → SA fallback
+        return pa.array(np.where(valid, (pa_ << 21) | pb_, 1 << 62))
+
+    from fuzzy_matcher_ray.stages.candidates import seed_agg_pairs
+    pair_rows = key_pairs(rows, ["fp"], cfg, carry_cols=["pos"],
+                          derive={"pp": _pack, "pp2": _pack}, dedup=False)
+    pairs = seed_agg_pairs(pair_rows)
+    if exclude_edges is not None:
+        # pairs already confirmed by the exact/MinHash/SimHash passes are
+        # edges regardless of this pass's verdict — skip their (expensive)
+        # substring verification entirely. Union-find makes the outcome
+        # identical; only wasted work is removed.
+        pairs = _exclude_known_pairs(pairs, exclude_edges)
+    with_texts = attach_pair_texts(pairs,
+                                   norm.select_columns(["doc_id", "norm_text"]), cfg)
+    return with_texts.map_batches(SubstringVerifier(cfg),
+                                  batch_format="pyarrow", batch_size=4096)
 
 
 def find_duplicates(docs, cfg: PipelineConfig | None = None,
@@ -139,7 +203,12 @@ def find_duplicates(docs, cfg: PipelineConfig | None = None,
         return rd.from_arrow(pa.table(empty))
     ck = checkpointer or Checkpointer("/tmp/fmr-ck-disabled", cfg.config_hash(),
                                       enabled=False)
-    norm = ck.stage("normalize", lambda: normalized_docs(docs, cfg))
+    from fuzzy_matcher_ray.stages.joins import effective_partitions
+    n_blocks = effective_partitions(cfg.join_num_partitions)
+    # split into ~CPU-many blocks so every signature stage fans out even when
+    # the source is a single parquet file / arrow table (block split, no move)
+    norm = ck.stage("normalize",
+                    lambda: normalized_docs(docs, cfg).repartition(n_blocks))
     edge_sets = []
     if "exact" in passes:
         edge_sets.append(ck.stage("edges_exact", lambda: exact_dup_edges(norm, cfg)))
@@ -150,8 +219,12 @@ def find_duplicates(docs, cfg: PipelineConfig | None = None,
         edge_sets.append(ck.stage(
             "edges_simhash", lambda: _edges_only(simhash_edges(norm, cfg))))
     if "substring" in passes:
+        known = edge_sets[0] if edge_sets else None
+        for e in edge_sets[1:]:
+            known = known.union(e)
         edge_sets.append(ck.stage(
-            "edges_substring", lambda: _edges_only(substring_edges(norm, cfg))))
+            "edges_substring",
+            lambda: _edges_only(substring_edges(norm, cfg, exclude_edges=known))))
     edges = edge_sets[0]
     for e in edge_sets[1:]:
         edges = edges.union(e)

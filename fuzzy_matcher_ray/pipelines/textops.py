@@ -160,7 +160,7 @@ def fingerprint_counts(sf_dir: str, cfg: PipelineConfig | None = None):
 
     def _f(t: pa.Table) -> pa.Table:
         norm = normalize_array(t["text"])
-        _, counts = winnow_batch(norm, cfg.substr_window, cfg.substr_winnow, cfg.seed)
+        _, counts, _pos = winnow_batch(norm, cfg.substr_window, cfg.substr_winnow, cfg.seed)
         return pa.table({"doc_id": t["doc_id"],
                          "n_fingerprints": pa.array(counts)})
     return _docs(sf_dir).map_batches(_f, batch_format="pyarrow").sort("doc_id")

@@ -2,19 +2,20 @@
 
 ≙ reference candidate emission at trie terminals
 (``utils.go:28-40`` ProcessNode → MatchCandidate): docs sharing an LSH key
-become candidate pairs. The wide shuffle (SURVEY.md §2.6 "result merge") is an
-explicit hash-partitioned self-join on the key.
+become candidate pairs.
 
-Skew handling (the north rule's hard part): boilerplate/empty-page keys can
-hold millions of docs, and an all-pairs self-join on such a key is O(n²) in
-one partition. So:
+Structure (all shuffles are explicit hash exchanges):
 
-1. A cheap ``groupby(key).count()`` pass finds hot keys (> max_group).
-2. Cold rows take the self-join (every group ≤ max_group ⇒ bounded fan-out).
-3. Hot groups emit **star + chain** edges (2n-3 per group, vectorized) instead
-   of all pairs — connectivity-equivalent for clustering, and since giant LSH
-   groups are near-certainly true duplicate clusters, the verify stage prunes
-   any accidental bridge while union-find restores transitivity.
+1. ``groupby(key).count()`` — one shuffle over slim key rows — splits keys
+   into singleton (dropped: no pair possible), duplicate (2..max_group), and
+   hot (> max_group).
+2. Rows on duplicate keys are selected by a membership filter (broadcast
+   uint64 key set while it fits, hash semi-join beyond) and pair-exploded
+   per group — group sizes are bounded by max_group so fan-out is bounded.
+3. Hot groups (boilerplate/empty-page keys with millions of docs — the north
+   rule's skew case) emit **star + chain** edges (2n-3 per group, vectorized,
+   O(n)) instead of all pairs — connectivity-equivalent for clustering; the
+   verify stage still scores every emitted pair.
 
 Pair order is normalized (a < b) and pairs are deduped across keys with a
 ``groupby`` — ≙ visited-set dedup (``utils.go:70-77`` MakeKey).
@@ -30,12 +31,162 @@ import ray
 from fuzzy_matcher_ray.config import PipelineConfig
 from fuzzy_matcher_ray.functions.shingle import splitmix64
 
-_EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64())})
+# membership sets larger than this are not broadcast — the semi-join path
+# (hash-partitioned) takes over. ~8 bytes/key ⇒ 160 MB ceiling.
+BROADCAST_KEYS_MAX = 20_000_000
+
+# duplicate-key row sets below this collect to the driver for the vectorized
+# segment explode; beyond it the distributed map_groups path runs.
+DRIVER_EXPLODE_MAX_ROWS = 5_000_000
+
+
+def _driver_key_pairs(tbl: pa.Table, key_cols, cfg, carry_cols, pair_filter,
+                      derive, dedup):
+    """Single-pass numpy candidate generation for driver-resident key rows."""
+    import ray.data as rd
+    gk = _combined_key(tbl, key_cols)
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    carries = {c: tbl[c].to_numpy(zero_copy_only=False) for c in carry_cols}
+    order = np.lexsort((ids, gk))
+    gk, ids = gk[order], ids[order]
+    carries = {c: v[order] for c, v in carries.items()}
+    brk = np.empty(len(gk), dtype=bool)
+    brk[0] = True
+    brk[1:] = gk[1:] != gk[:-1]
+    seg_starts = np.nonzero(brk)[0]
+    sizes = np.diff(np.append(seg_starts, len(gk)))
+    cap = cfg.max_band_group
+
+    # dup segments (2..cap): template explode
+    templates: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    ia_chunks, ib_chunks = [], []
+    hot_a, hot_b = [], []
+    for st, n in zip(seg_starts.tolist(), sizes.tolist()):
+        if n < 2:
+            continue
+        if n <= cap:
+            t_ = templates.get(n)
+            if t_ is None:
+                t_ = np.triu_indices(n, k=1)
+                templates[n] = t_
+            ia_chunks.append(t_[0] + st)
+            ib_chunks.append(t_[1] + st)
+        else:
+            # hot group: star + chain over unique ids (skew cap)
+            u = np.unique(ids[st: st + n])
+            if len(u) < 2:
+                continue
+            a = np.concatenate([np.full(len(u) - 1, u[0]), u[1:-1]])
+            b = np.concatenate([u[1:], u[2:]])
+            hot_a.append(np.minimum(a, b))
+            hot_b.append(np.maximum(a, b))
+    parts = []
+    if ia_chunks:
+        ia = np.concatenate(ia_chunks)
+        ib = np.concatenate(ib_chunks)
+        keep = ids[ia] != ids[ib]
+        ia, ib = ia[keep], ib[keep]
+        cols = {"doc_id_a": pa.array(ids[ia]), "doc_id_b": pa.array(ids[ib])}
+        for c in carry_cols:
+            cols[f"{c}_a"] = pa.array(carries[c][ia])
+            cols[f"{c}_b"] = pa.array(carries[c][ib])
+        parts.append(_finish_pairs(pa.table(cols), carry_cols, pair_filter, derive))
+    if hot_a:
+        t = pa.table({"a": pa.array(np.concatenate(hot_a)),
+                      "b": pa.array(np.concatenate(hot_b))})
+        for name in derive:
+            t = t.append_column(name, pa.nulls(len(t), pa.int64()))
+        parts.append(t)
+    if not parts:
+        return rd.from_arrow(_pairs_schema(derive))
+    out = pa.concat_tables(parts).combine_chunks()
+    if dedup:
+        out = _numpy_dedup_pairs(out, list(derive))
+    chunk = 1 << 15
+    slices = [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)]
+    return rd.from_arrow(slices)
+
+
+def _numpy_dedup_pairs(t: pa.Table, min_cols: list[str]) -> pa.Table:
+    """(a,b[,cols]) → one row per pair; Min per extra col (nulls → ignored)."""
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    brk = np.empty(len(a), dtype=bool)
+    if len(a) == 0:
+        return t
+    brk[0] = True
+    brk[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    seg = np.nonzero(brk)[0]
+    cols = {"a": pa.array(a[seg]), "b": pa.array(b[seg])}
+    for c in min_cols:
+        v = t[c].to_numpy(zero_copy_only=False)[order]
+        # nulls arrive as masked → to_numpy gives float with nan; normalize
+        if v.dtype.kind == "f":
+            v = np.where(np.isnan(v), np.inf, v)
+            m = np.minimum.reduceat(v, seg)
+            cols[c] = pa.array(np.where(np.isinf(m), None, m).astype("float64"),
+                               from_pandas=True)
+        else:
+            cols[c] = pa.array(np.minimum.reduceat(v, seg))
+    return pa.table(cols)
+
+
+def _driver_explode(dup_rows, key_cols, carry_cols, pair_filter, derive, cfg):
+    """One vectorized pass: lexsort by key, explode all segments at once."""
+    import ray.data as rd
+    parts = list(dup_rows.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if not parts:
+        return rd.from_arrow(_pairs_schema(derive))
+    tbl = pa.concat_tables(parts)
+    if len(tbl) == 0:
+        return rd.from_arrow(_pairs_schema(derive))
+    gk = _combined_key(tbl, key_cols)
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    carries = {c: tbl[c].to_numpy(zero_copy_only=False) for c in carry_cols}
+    order = np.lexsort((ids, gk))
+    gk, ids = gk[order], ids[order]
+    carries = {c: v[order] for c, v in carries.items()}
+    # segment boundaries
+    brk = np.empty(len(gk), dtype=bool)
+    brk[0] = True
+    brk[1:] = gk[1:] != gk[:-1]
+    seg_starts = np.nonzero(brk)[0]
+    seg_ends = np.append(seg_starts[1:], len(gk))
+    sizes = seg_ends - seg_starts
+    # template pair indices per group size (sizes bounded by max_group)
+    templates: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    ia_chunks, ib_chunks = [], []
+    for st, n in zip(seg_starts.tolist(), sizes.tolist()):
+        if n < 2:
+            continue
+        t_ = templates.get(n)
+        if t_ is None:
+            t_ = np.triu_indices(n, k=1)
+            templates[n] = t_
+        ia_chunks.append(t_[0] + st)
+        ib_chunks.append(t_[1] + st)
+    if not ia_chunks:
+        return rd.from_arrow(_pairs_schema(derive))
+    ia = np.concatenate(ia_chunks)
+    ib = np.concatenate(ib_chunks)
+    keep = ids[ia] != ids[ib]
+    ia, ib = ia[keep], ib[keep]
+    cols = {"doc_id_a": pa.array(ids[ia]), "doc_id_b": pa.array(ids[ib])}
+    for c in carry_cols:
+        cols[f"{c}_a"] = pa.array(carries[c][ia])
+        cols[f"{c}_b"] = pa.array(carries[c][ib])
+    out = _finish_pairs(pa.table(cols), carry_cols, pair_filter, derive)
+    # return MANY blocks — a single from_arrow block would serialize every
+    # downstream stage (verify, lookups) onto one core
+    chunk = 1 << 15
+    slices = [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)]
+    return rd.from_arrow(slices)
 
 
 def _combined_key(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
-    """Mix multiple key columns into one uint64 for hot-set membership tests."""
+    """Mix multiple key columns into one uint64 for membership tests."""
     acc = np.zeros(len(batch), dtype=np.uint64)
     for i, c in enumerate(key_cols):
         v = batch[c].to_numpy(zero_copy_only=False).astype(np.int64, copy=False).view(np.uint64)
@@ -50,118 +201,243 @@ def _count_col(counts_ds) -> str:
     return next((c for c in sch.names if c.startswith("count")), "count()")
 
 
+def _collect_combined_keys(ds, key_cols: list[str]) -> np.ndarray:
+    parts = [
+        _combined_key(t, key_cols)
+        for t in ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+        if len(t)
+    ]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+
+
+def _membership_filter(key_rows, key_cols, keys_arr: np.ndarray):
+    """Rows whose combined key is in keys_arr (broadcast sorted-array isin)."""
+    ref = ray.put(keys_arr)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        if len(ks) == 0:
+            return batch.slice(0, 0)
+        k = _combined_key(batch, key_cols)
+        idx = np.searchsorted(ks, k)
+        idx = np.clip(idx, 0, len(ks) - 1)
+        return batch.filter(pa.array(ks[idx] == k))
+
+    return key_rows.map_batches(_f, batch_format="pyarrow")
+
+
 def key_pairs(key_rows, key_cols: list[str], cfg: PipelineConfig,
               carry_cols: list[str] | None = None,
-              pair_filter=None):
+              pair_filter=None, derive=None, dedup: bool = True):
     """key rows (key..., doc_id [, carry…]) → unique candidate pairs (a, b).
 
-    ``carry_cols`` values ride along as ``<col>_a`` / ``<col>_b`` through the
-    join so per-pair filters (e.g. SimHash Hamming distance) can run inline
-    before the dedup shuffle. ``pair_filter(table) -> table`` runs per joined
-    batch.
+    ``carry_cols`` are per-row columns made available to ``pair_filter`` /
+    ``derive`` as ``<col>_a`` / ``<col>_b`` on the exploded pair table (e.g.
+    SimHash values for the Hamming filter, winnow seed positions).
+    ``pair_filter(table) -> table`` prunes pairs inline before the dedup
+    shuffle. ``derive`` = {out_col: fn(pair_table) -> pa.Array} adds columns
+    that survive dedup via Min (e.g. packed seed positions — Min of a packed
+    value keeps a *consistent* tuple from one key row).
     """
     carry_cols = carry_cols or []
-    # key_rows feeds three consumers (counts, cold, hot) — pin its blocks so
-    # the signature stage runs once, not three times. Band rows are ~100x
-    # smaller than the corpus text; the object store spills them if needed.
+    derive = derive or {}
+    # key_rows feeds multiple consumers — pin blocks so the signature stage
+    # runs once. Key rows are ~100x smaller than corpus text; spill is fine.
     key_rows = key_rows.materialize()
-    if key_rows.count() == 0:
+    n_rows = key_rows.count()
+    if n_rows == 0:
         import ray.data as rd
-        cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-        for c in carry_cols:
-            cols[f"{c}_a"] = pa.array([], pa.int64())
-            cols[f"{c}_b"] = pa.array([], pa.int64())
-        return rd.from_arrow(pa.table(cols))
-    counts = key_rows.groupby(key_cols).count()
+        return rd.from_arrow(_pairs_schema(derive))
+
+    if n_rows <= DRIVER_EXPLODE_MAX_ROWS:
+        # FAST PATH: the whole key-row set fits on the driver (slim rows:
+        # key + doc_id + carries ≈ 24-32 B/row ⇒ ≤160 MB). One collect, then
+        # counts / dup-hot split / explode / star-chain / dedup all in a
+        # single numpy pass — replaces 4 Ray executions whose fixed costs
+        # dominate below ~10M rows. The distributed path below is the same
+        # algorithm expressed in Dataset ops for beyond-driver scale.
+        tbl = pa.concat_tables(list(key_rows.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow")))
+        return _driver_key_pairs(tbl, key_cols, cfg, carry_cols, pair_filter,
+                                 derive, dedup)
+
+    counts = key_rows.groupby(key_cols).count().materialize()
     ccol = _count_col(counts)
-    hot_keys_tbl = counts.map_batches(
+    dup_keys_ds = counts.map_batches(
+        lambda t: t.filter(pc.and_(pc.greater(t[ccol], pa.scalar(1)),
+                                   pc.less_equal(t[ccol], pa.scalar(cfg.max_band_group)))),
+        batch_format="pyarrow").select_columns(key_cols)
+    hot_keys_ds = counts.map_batches(
         lambda t: t.filter(pc.greater(t[ccol], pa.scalar(cfg.max_band_group))),
         batch_format="pyarrow").select_columns(key_cols)
-    # hot keys are few by construction (they exceed max_group) → safe to collect
-    hot_batches = list(hot_keys_tbl.iter_batches(batch_size=1 << 20,
-                                                 batch_format="pyarrow"))
-    hot = (pa.concat_tables(hot_batches) if hot_batches
-           else pa.table({c: pa.array([], pa.int64()) for c in key_cols}))
-    hot_arr = np.unique(_combined_key(hot, key_cols)) if len(hot) else np.empty(0, np.uint64)
-    hot_ref = ray.put(hot_arr)
 
-    def _split(batch: pa.Table, keep_hot: bool) -> pa.Table:
-        hs = ray.get(hot_ref)
-        if len(hs) == 0:
-            return batch if not keep_hot else batch.slice(0, 0)
-        k = _combined_key(batch, key_cols)
-        mask = np.isin(k, hs)
-        return batch.filter(pa.array(mask if keep_hot else ~mask))
+    # dup keys: broadcast membership while it fits; beyond that a hash
+    # semi-join on the key columns does the same selection at any scale.
+    dup_arr = _collect_combined_keys(dup_keys_ds, key_cols)
+    if len(dup_arr) <= BROADCAST_KEYS_MAX:
+        dup_rows = _membership_filter(key_rows, key_cols, dup_arr)
+    else:
+        from fuzzy_matcher_ray.stages.joins import JOIN_AGG_ARGS, effective_partitions
+        dup_rows = key_rows.join(
+            dup_keys_ds, "left_semi",
+            effective_partitions(cfg.join_num_partitions),
+            on=tuple(key_cols), aggregator_ray_remote_args=JOIN_AGG_ARGS)
 
-    cold = key_rows.map_batches(lambda t: _split(t, False), batch_format="pyarrow")
-    # --- cold path: hash self-join, normalize order, inline filter ---
-    from fuzzy_matcher_ray.stages.joins import JOIN_AGG_ARGS, effective_partitions
-    joined = cold.join(cold, "inner", effective_partitions(cfg.join_num_partitions),
-                       on=tuple(key_cols), left_suffix="_a", right_suffix="_b",
-                       aggregator_ray_remote_args=JOIN_AGG_ARGS)
+    # Explode pairs per duplicate-key group. Two paths:
+    # (a) dup rows fit on the driver (they are the *duplicate-key subset*,
+    #     typically ~1% of key rows) → one vectorized numpy segment explode —
+    #     per-group Python-call overhead of map_groups is ~1 ms/group, which
+    #     at 10^5 groups costs minutes; the segment explode costs ~100 ms.
+    # (b) beyond the threshold → distributed groupby().map_groups, the
+    #     at-scale path (the shuffle co-locates each key's rows).
+    n_dup_rows = dup_rows.count() if hasattr(dup_rows, "count") else None
+    if n_dup_rows is not None and n_dup_rows <= DRIVER_EXPLODE_MAX_ROWS:
+        dup_pairs_ds = _driver_explode(dup_rows, key_cols, carry_cols,
+                                       pair_filter, derive, cfg)
+    else:
+        def _explode(group: pa.Table) -> pa.Table:
+            n = len(group)
+            if n < 2:
+                return _pairs_schema(derive)
+            ids = group["doc_id"].to_numpy(zero_copy_only=False)
+            ia, ib = np.triu_indices(n, k=1)        # bounded: n <= max_group
+            keep = ids[ia] != ids[ib]
+            ia, ib = ia[keep], ib[keep]
+            cols = {"doc_id_a": pa.array(ids[ia]), "doc_id_b": pa.array(ids[ib])}
+            for c in carry_cols:
+                vals = group[c].to_numpy(zero_copy_only=False)
+                cols[f"{c}_a"] = pa.array(vals[ia])
+                cols[f"{c}_b"] = pa.array(vals[ib])
+            t = pa.table(cols)
+            return _finish_pairs(t, carry_cols, pair_filter, derive)
 
-    def _orient(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return _pairs_schema(t, carry_cols)
-        a = t["doc_id_a"].to_numpy(zero_copy_only=False)
-        b = t["doc_id_b"].to_numpy(zero_copy_only=False)
-        keep = a < b
-        t = t.filter(pa.array(keep))
-        if pair_filter is not None:
-            t = pair_filter(t)
-        cols = {"a": t["doc_id_a"], "b": t["doc_id_b"]}
-        for c in carry_cols:
-            cols[f"{c}_a"] = t[f"{c}_a"]
-            cols[f"{c}_b"] = t[f"{c}_b"]
-        return pa.table(cols)
+        dup_pairs_ds = dup_rows.groupby(key_cols).map_groups(
+            _explode, batch_format="pyarrow")
 
-    cold_pairs = joined.map_batches(_orient, batch_format="pyarrow")
-
-    # --- hot path: star + chain per group (vectorized, O(n) per group) ---
-    if len(hot_arr):
-        hot_rows = key_rows.map_batches(lambda t: _split(t, True), batch_format="pyarrow")
+    # hot path: star + chain per group (vectorized, O(n) per group); skips
+    # pair_filter/derive by design — giant groups are exact-ish duplicate
+    # families and the verify stage still scores every pair (null derive
+    # cols ⇒ verifier fallback path).
+    out = dup_pairs_ds
+    hot_arr = _collect_combined_keys(hot_keys_ds, key_cols)
+    if len(hot_arr) > 0:
+        hot_rows = _membership_filter(key_rows, key_cols, hot_arr)
 
         def _star_chain(group: pa.Table) -> pa.Table:
             ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
             if len(ids) < 2:
-                return _EMPTY_PAIRS
+                return _pairs_schema(derive)
             root = ids[0]
             a = np.concatenate([np.full(len(ids) - 1, root), ids[1:-1]])
             b = np.concatenate([ids[1:], ids[2:]])
-            lo, hi = np.minimum(a, b), np.maximum(a, b)
-            t = pa.table({"a": pa.array(lo), "b": pa.array(hi)})
+            t = pa.table({"a": pa.array(np.minimum(a, b)),
+                          "b": pa.array(np.maximum(a, b))})
+            for name in derive:
+                t = t.append_column(name, pa.nulls(len(t), pa.int64()))
             return t
 
         hot_pairs = hot_rows.groupby(key_cols).map_groups(
             _star_chain, batch_format="pyarrow")
-        # hot pairs skip pair_filter by design: giant groups are exact-ish
-        # duplicate families; verify stage still scores every pair.
+        out = out.union(hot_pairs)
+    if not dedup:
+        # callers that verify per key-row (e.g. substring seed extension)
+        # dedup AFTER their verify, keeping one row per shared key
+        return out
+    return dedup_pairs(out, list(derive))
+
+
+def _finish_pairs(t: pa.Table, carry_cols, pair_filter, derive) -> pa.Table:
+    a = t["doc_id_a"].to_numpy(zero_copy_only=False)
+    b = t["doc_id_b"].to_numpy(zero_copy_only=False)
+    swap = a > b
+    if swap.any():
+        # normalize order, swapping carried columns alongside
+        cols = {"doc_id_a": pa.array(np.where(swap, b, a)),
+                "doc_id_b": pa.array(np.where(swap, a, b))}
         for c in carry_cols:
-            hot_pairs = hot_pairs.map_batches(
-                lambda t: t.append_column(f"{c}_a", pa.nulls(len(t), pa.int64()))
-                           .append_column(f"{c}_b", pa.nulls(len(t), pa.int64())),
-                batch_format="pyarrow")
-        cold_pairs = cold_pairs.union(hot_pairs)
-    return dedup_pairs(cold_pairs, carry_cols)
-
-
-def _pairs_schema(t: pa.Table, carry_cols):
-    cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-    for c in carry_cols:
-        typ = t[f"{c}_a"].type if f"{c}_a" in t.schema.names else pa.int64()
-        cols[f"{c}_a"] = pa.array([], typ)
-        cols[f"{c}_b"] = pa.array([], typ)
+            va = t[f"{c}_a"].to_numpy(zero_copy_only=False)
+            vb = t[f"{c}_b"].to_numpy(zero_copy_only=False)
+            cols[f"{c}_a"] = pa.array(np.where(swap, vb, va))
+            cols[f"{c}_b"] = pa.array(np.where(swap, va, vb))
+        t = pa.table(cols)
+    if pair_filter is not None:
+        t = pair_filter(t)
+    cols = {"a": t["doc_id_a"], "b": t["doc_id_b"]}
+    for name, fn in (derive or {}).items():
+        cols[name] = fn(t)
     return pa.table(cols)
 
 
-def dedup_pairs(pairs, carry_cols: list[str] | None = None):
+def _pairs_schema(derive) -> pa.Table:
+    cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    for name in (derive or {}):
+        cols[name] = pa.array([], pa.int64())
+    return pa.table(cols)
+
+
+def seed_agg_pairs(pairs, driver_max: int = 2 * DRIVER_EXPLODE_MAX_ROWS):
+    """(a, b, pp, pp2) rows → (a, b, pp=Min, pp2=Max, n_fp=Count) per pair.
+
+    Driver numpy fast path under ``driver_max`` rows; Ray groupby aggregation
+    beyond. Used by the substring pass to keep two seed candidates + the
+    shared-fingerprint count per pair.
+    """
+    from ray.data.aggregate import Count, Max, Min
+    n = pairs.count()
+    if n > driver_max:
+        return pairs.groupby(["a", "b"]).aggregate(
+            Min("pp", alias_name="pp", ignore_nulls=True),
+            Max("pp2", alias_name="pp2", ignore_nulls=True),
+            Count(alias_name="n_fp"))
+    import ray.data as rd
+    parts = list(pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if not parts:
+        return pairs
+    t = pa.concat_tables(parts).combine_chunks()
+    if len(t) == 0:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "pp": pa.array([], pa.int64()), "pp2": pa.array([], pa.int64()),
+            "n_fp": pa.array([], pa.int64())}))
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    pp = t["pp"].to_numpy(zero_copy_only=False)
+    if pp.dtype.kind == "f":                       # nulls from hot-group rows
+        pp = np.where(np.isnan(pp), np.float64(1 << 62), pp)
+    pp = pp.astype(np.int64)
+    order = np.lexsort((b, a))
+    a, b, pp = a[order], b[order], pp[order]
+    brk = np.empty(len(a), dtype=bool)
+    brk[0] = True
+    brk[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    seg = np.nonzero(brk)[0]
+    n_fp = np.diff(np.append(seg, len(a)))
+    # for the Max seed, sentinel (1<<62, no-seed) must lose to any valid seed
+    pp_for_max = np.where(pp >= (1 << 62), np.int64(-1), pp)
+    out = pa.table({
+        "a": pa.array(a[seg]), "b": pa.array(b[seg]),
+        "pp": pa.array(np.minimum.reduceat(pp, seg)),
+        "pp2": pa.array(np.maximum.reduceat(pp_for_max, seg)),
+        "n_fp": pa.array(n_fp),
+    })
+    chunk = 1 << 15
+    slices = [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)]
+    return rd.from_arrow(slices)
+
+
+def dedup_pairs(pairs, min_cols: list[str] | None = None, aggs=None):
     """Each (a,b) exactly once — verify-once semantics (min-edit merge ≙
-    fuzzy_matcher_core.go:198-205 keeps one row per pair)."""
-    carry_cols = carry_cols or []
-    if carry_cols:
-        aggs = __import__("ray.data.aggregate", fromlist=["Min"])
-        mins = [aggs.Min(f"{c}_{s}", alias_name=f"{c}_{s}")
-                for c in carry_cols for s in ("a", "b")]
+    fuzzy_matcher_core.go:198-205 keeps one row per pair).
+
+    ``aggs``: optional list of ray.data.aggregate.* instances replacing the
+    default Min-per-column aggregation.
+    """
+    min_cols = min_cols or []
+    if aggs:
+        return pairs.groupby(["a", "b"]).aggregate(*aggs)
+    if min_cols:
+        from ray.data.aggregate import Min
+        mins = [Min(c, alias_name=c, ignore_nulls=True) for c in min_cols]
         return pairs.groupby(["a", "b"]).aggregate(*mins)
     counted = pairs.groupby(["a", "b"]).count()
     return counted.select_columns(["a", "b"])

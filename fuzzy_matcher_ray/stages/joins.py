@@ -104,6 +104,12 @@ def broadcast_table(other_tbl: pa.Table, right_key: str, value_cols: list[str]):
         if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
             values[c] = col.to_numpy(zero_copy_only=False)
         else:
+            # 64-bit offsets: a take() that fans a string column out past
+            # 2^31 bytes corrupts int32 offsets — large_string is immune
+            if pa.types.is_string(col.type):
+                col = col.cast(pa.large_string())
+            elif pa.types.is_binary(col.type):
+                col = col.cast(pa.large_binary())
             values[c] = col
     return ray.put((keys, values))
 

@@ -110,19 +110,35 @@ class Winnower:
         batch = _fuzzy_subset(batch)
         if len(batch) == 0:
             return pa.table({"fp": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64())})
-        fps, counts = winnow_batch(batch["norm_text"], cfg.substr_window,
-                                   cfg.substr_winnow, cfg.seed)
+                             "doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        fps, counts, positions = winnow_batch(batch["norm_text"], cfg.substr_window,
+                                              cfg.substr_winnow, cfg.seed)
         doc_ids = batch["doc_id"].to_numpy()
         return pa.table({
             "fp": pa.array(fps.view(np.int64)),
             "doc_id": pa.array(np.repeat(doc_ids, counts)),
+            "pos": pa.array(positions),
         })
 
 
 def add_stage(docs_norm, cls, cfg: PipelineConfig, **kwargs):
-    """Run one of the signature stages as an autoscaling actor pool."""
+    """Run a signature stage.
+
+    Two modes, chosen by ``cfg.signature_actor_pool``:
+    - stateless-instance tasks (default): the per-worker state here is a 2 KB
+      permutation matrix rebuilt in ~50 us — far below the actor-pool
+      amortization threshold, and elastic tasks avoid idle CPU reservation
+      (pool startup costs ~5 s per stage on a cold cluster).
+    - autoscaling actor pool: the right shape when the per-actor state is
+      heavy (models, codecs — see pipelines/multimodal.py which always pools);
+      enabled for deployments where signature stages load e.g. a tokenizer.
+    """
+    if cfg.signature_actor_pool:
+        return docs_norm.map_batches(
+            cls, fn_constructor_args=(cfg,), batch_format="pyarrow",
+            batch_size=cfg.batch_size, concurrency=cfg.minhash_actors,
+            zero_copy_batch=True, **kwargs)
     return docs_norm.map_batches(
-        cls, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=cfg.batch_size, concurrency=cfg.minhash_actors,
+        cls(cfg), batch_format="pyarrow", batch_size=cfg.batch_size,
         zero_copy_batch=True, **kwargs)

@@ -197,7 +197,8 @@ def test_winnow_shared_substring_guarantee():
     d1 = "PREFIXONE" + shared + "SUFFIXONE"
     d2 = "zz" + shared + "qq"
     d3 = "".join(rng.choice(list("abcdefghijklmnop"), 300))
-    fps, counts = winnow_batch(pa.array([d1, d2, d3]), window=50, winnow=16)
+    fps, counts, positions = winnow_batch(pa.array([d1, d2, d3]), window=50, winnow=16)
+    assert len(positions) == counts.sum()
     offs = counts_to_offsets(counts)
     f1 = set(fps[offs[0]:offs[1]].tolist())
     f2 = set(fps[offs[1]:offs[2]].tolist())
