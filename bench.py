@@ -1,0 +1,146 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline near-dup pipeline over a deterministic synthetic
+Common-Crawl-style corpus sized to the SF of ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1), plus a set of secondary pipelines over the sf tables,
+and prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling`` re-runs the headline in two fresh processes at num_cpus=8 and
+num_cpus=32 on identical input and reports both throughputs + the scaling
+efficiency (the sandbox evidence for the north rule's N→4N criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# headline corpus size by scale factor (deterministic, cached in /tmp)
+_SF_DOCS = {"0.001": 1000, "0.01": 10000, "0.1": 50000}
+
+
+def _sf_label() -> str:
+    base = os.path.basename(SF_DIR.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else base
+
+
+def _corpus_docs() -> int:
+    return _SF_DOCS.get(_sf_label(), 50000)
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    logging.getLogger("ray.data").setLevel(logging.ERROR)  # keep stdout = 1 JSON line
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
+    from fuzzy_matcher_ray.sources.protocol import documents_source, webpages_source
+    from fuzzy_matcher_ray.sources.webpages import write_webpages
+
+    cfg = PipelineConfig()
+    n_docs = _corpus_docs()
+    pages_path = write_webpages("/tmp/fmr_bench_corpus", n_docs=n_docs, seed=11)
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    with open(pages_path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+    # warm the cluster: spin up worker processes / import numpy+pyarrow in
+    # them before timing (32 cold workers cost ~20s that isn't pipeline work)
+    warm_path = write_webpages("/tmp/fmr_bench_corpus", n_docs=500, seed=5)
+    find_duplicates(webpages_source(warm_path), cfg).count()
+
+    queries: dict[str, float] = {}
+
+    # --- headline: flagship near-dup pipeline over the synthetic corpus ---
+    t0 = time.perf_counter()
+    out = find_duplicates(webpages_source(pages_path), cfg)
+    n_out = out.count()
+    headline = time.perf_counter() - t0
+    assert n_out == n_docs, (n_out, n_docs)
+    queries["dedup_corpus"] = round(headline, 3)
+
+    # --- secondary pipelines over the sf tables ---
+    t0 = time.perf_counter()
+    find_duplicates(documents_source(SF_DIR), cfg).count()
+    queries["dedup_documents"] = round(time.perf_counter() - t0, 3)
+
+    from fuzzy_matcher_ray.pipelines import knn, textops
+    t0 = time.perf_counter()
+    textops.text_quality(SF_DIR).count()
+    queries["text_quality"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    textops.exact_clusters(SF_DIR).count()
+    queries["exact_clusters"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    knn.knn_topk(SF_DIR).count()
+    queries["knn_topk"] = round(time.perf_counter() - t0, 3)
+
+    from fuzzy_matcher_ray.pipelines.events import user_hourly_windows
+    t0 = time.perf_counter()
+    user_hourly_windows(SF_DIR).count()
+    queries["user_hourly_windows"] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "near-dup dedup end-to-end wall",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_label(),
+        "num_cpus": NUM_CPUS,
+        "corpus_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same input, fresh processes, num_cpus=8 vs 32 → scaling efficiency."""
+    def _run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = _run(lo)
+    r_hi = _run(hi)
+    tput_lo = r_lo["docs_per_sec"]
+    tput_hi = r_hi["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (throughput ratio / cpu ratio)",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": tput_lo, "docs_per_sec_hi": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"], "corpus_docs": r_hi["corpus_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -86,17 +86,18 @@ def exact_dup_edges(norm, cfg: PipelineConfig):
     return dup_rows.groupby("text_hash").map_groups(_star, batch_format="pyarrow")
 
 
-def minhash_edges(norm, cfg: PipelineConfig):
+def minhash_edges(norm, cfg: PipelineConfig, attacher=None):
     """MinHash/LSH pass → exact-Jaccard-verified edges (a, b, jaccard)."""
     band_rows = add_stage(norm.select_columns(["doc_id", "fold_text", "tier"]),
                           MinHasher, cfg)
     pairs = key_pairs(band_rows, ["band", "band_hash"], cfg)
-    with_texts = attach_pair_texts(pairs, norm.select_columns(["doc_id", "norm_text"]), cfg)
+    with_texts = attach_pair_texts(pairs, norm.select_columns(["doc_id", "norm_text"]),
+                                   cfg, attacher=attacher)
     return with_texts.map_batches(JaccardVerifier(cfg), batch_format="pyarrow",
                                   batch_size=cfg.batch_size)
 
 
-def simhash_edges(norm, cfg: PipelineConfig):
+def simhash_edges(norm, cfg: PipelineConfig, attacher=None):
     """SimHash block pass: Hamming ≤ d candidates, then exact-Jaccard verify
     at a relaxed threshold (backstop for near-threshold MinHash misses)."""
     rows = add_stage(norm.select_columns(["doc_id", "fold_text", "tier"]),
@@ -105,7 +106,8 @@ def simhash_edges(norm, cfg: PipelineConfig):
                       carry_cols=["simhash"],
                       pair_filter=simhash_pair_filter(cfg.simhash_hamming_max))
     pairs = _edges_only(pairs)
-    with_texts = attach_pair_texts(pairs, norm.select_columns(["doc_id", "norm_text"]), cfg)
+    with_texts = attach_pair_texts(pairs, norm.select_columns(["doc_id", "norm_text"]),
+                                   cfg, attacher=attacher)
     relaxed = max(0.5, cfg.jaccard_threshold - 0.1)
     return with_texts.map_batches(JaccardVerifier(cfg, relaxed),
                                   batch_format="pyarrow",
@@ -149,7 +151,7 @@ def _exclude_known_pairs(pairs, known_edges, broadcast_max: int = 20_000_000):
                       aggregator_ray_remote_args=JOIN_AGG_ARGS)
 
 
-def substring_edges(norm, cfg: PipelineConfig, exclude_edges=None):
+def substring_edges(norm, cfg: PipelineConfig, exclude_edges=None, attacher=None):
     """Winnowed-fingerprint co-location → seed-extension-verified long-repeat
     edges, with suffix-array verification where seeds can't decide.
 
@@ -181,7 +183,8 @@ def substring_edges(norm, cfg: PipelineConfig, exclude_edges=None):
         # identical; only wasted work is removed.
         pairs = _exclude_known_pairs(pairs, exclude_edges)
     with_texts = attach_pair_texts(pairs,
-                                   norm.select_columns(["doc_id", "norm_text"]), cfg)
+                                   norm.select_columns(["doc_id", "norm_text"]),
+                                   cfg, attacher=attacher)
     return with_texts.map_batches(SubstringVerifier(cfg),
                                   batch_format="pyarrow", batch_size=4096)
 
@@ -210,21 +213,29 @@ def find_duplicates(docs, cfg: PipelineConfig | None = None,
     norm = ck.stage("normalize",
                     lambda: normalized_docs(docs, cfg).repartition(n_blocks))
     edge_sets = []
+    # one broadcast copy of (doc_id → norm_text) shared by every verify pass
+    from fuzzy_matcher_ray.stages.joins import BROADCAST_MAX_ROWS, BroadcastAttacher
+    attacher = None
+    if norm.count() <= BROADCAST_MAX_ROWS:
+        attacher = BroadcastAttacher(norm, "doc_id", ["norm_text"])
     if "exact" in passes:
         edge_sets.append(ck.stage("edges_exact", lambda: exact_dup_edges(norm, cfg)))
     if "minhash" in passes:
         edge_sets.append(ck.stage(
-            "edges_minhash", lambda: _edges_only(minhash_edges(norm, cfg))))
+            "edges_minhash",
+            lambda: _edges_only(minhash_edges(norm, cfg, attacher=attacher))))
     if "simhash" in passes:
         edge_sets.append(ck.stage(
-            "edges_simhash", lambda: _edges_only(simhash_edges(norm, cfg))))
+            "edges_simhash",
+            lambda: _edges_only(simhash_edges(norm, cfg, attacher=attacher))))
     if "substring" in passes:
         known = edge_sets[0] if edge_sets else None
         for e in edge_sets[1:]:
             known = known.union(e)
         edge_sets.append(ck.stage(
             "edges_substring",
-            lambda: _edges_only(substring_edges(norm, cfg, exclude_edges=known))))
+            lambda: _edges_only(substring_edges(norm, cfg, exclude_edges=known,
+                                                attacher=attacher))))
     edges = edge_sets[0]
     for e in edge_sets[1:]:
         edges = edges.union(e)

@@ -114,6 +114,26 @@ def broadcast_table(other_tbl: pa.Table, right_key: str, value_cols: list[str]):
     return ray.put((keys, values))
 
 
+class BroadcastAttacher:
+    """A reusable broadcast lookup: collect + sort + ``ray.put`` ONCE, attach
+    columns onto any number of datasets afterwards (no per-call re-collect).
+
+    Build it once per pipeline run for the lookup side every pass shares
+    (e.g. doc_id → norm_text); the per-attach cost is then only the
+    per-batch searchsorted.
+    """
+
+    def __init__(self, other, right_key: str, value_cols: list[str]):
+        tbl = collect_table(other.select_columns([right_key, *value_cols]))
+        self.right_key = right_key
+        self.value_cols = value_cols
+        self.ref = broadcast_table(tbl, right_key, value_cols)
+
+    def attach(self, ds, left_key: str, cols: dict[str, str], how: str = "inner"):
+        return ds.map_batches(_Lookup(self.ref, left_key, cols, how == "inner"),
+                              batch_format="pyarrow")
+
+
 def attach_columns(ds, other, left_key: str, right_key: str,
                    cols: dict[str, str], *, how: str = "inner",
                    strategy: str = "auto", num_partitions: int = 32,

@@ -20,8 +20,16 @@ from fuzzy_matcher_ray.functions.suffix import lcp_array, suffix_array
 from fuzzy_matcher_ray.stages.joins import attach_columns
 
 
-def attach_pair_texts(pairs, docs_norm, cfg: PipelineConfig, col: str = "norm_text"):
-    """pairs (a,b) → (a, b, text_a, text_b)."""
+def attach_pair_texts(pairs, docs_norm, cfg: PipelineConfig,
+                      col: str = "norm_text", attacher=None):
+    """pairs (a,b) → (a, b, text_a, text_b).
+
+    Pass a shared ``BroadcastAttacher`` to reuse one collected/broadcast copy
+    of the doc texts across every pass of a pipeline run.
+    """
+    if attacher is not None:
+        out = attacher.attach(pairs, "a", {col: "text_a"})
+        return attacher.attach(out, "b", {col: "text_b"})
     out = attach_columns(pairs, docs_norm, "a", "doc_id", {col: "text_a"},
                          how="inner", num_partitions=cfg.join_num_partitions)
     out = attach_columns(out, docs_norm, "b", "doc_id", {col: "text_b"},
