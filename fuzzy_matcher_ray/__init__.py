@@ -21,6 +21,25 @@ wide shuffles. No global mutable index exists anywhere — the reference's trie
 into columnar signature artifacts on the object store.
 """
 
+# Environment shim: fsspec's HTTP filesystem needs aiohttp (absent here).
+# The first failed import leaves a partially-initialized module in
+# sys.modules; Ray's path resolution then hits a plain ImportError it does
+# not catch (it only catches ModuleNotFoundError). Register a stub module —
+# Ray only ever uses HTTPFileSystem in isinstance checks.
+try:  # pragma: no cover - environment dependent
+    from fsspec.implementations.http import HTTPFileSystem as _HTTPFS  # noqa: F401
+except Exception:  # ModuleNotFoundError (aiohttp) or partial-import ImportError
+    import sys as _sys
+    import types as _types
+
+    _m = _types.ModuleType("fsspec.implementations.http")
+
+    class _StubHTTPFileSystem:  # never instantiated — isinstance-only
+        pass
+
+    _m.HTTPFileSystem = _StubHTTPFileSystem
+    _sys.modules["fsspec.implementations.http"] = _m
+
 from fuzzy_matcher_ray.config import PipelineConfig, EntityMatchConfig
 
 __all__ = ["PipelineConfig", "EntityMatchConfig"]

@@ -40,10 +40,12 @@ class PipelineConfig:
     # edges instead of all-pairs (connectivity-preserving skew cap)
     salt_buckets: int = 8           # salt fan-out for giant groups
     # --- substring dedup ---
-    substr_window: int = 100        # fingerprint window (chars, normalized)
-    substr_winnow: int = 64         # winnowing: min of each 64-hash window
-    # detection guarantee: shared substrings >= window + winnow - 1 (=163)
-    # chars always produce a shared fingerprint; substr_min_len=200 > 163.
+    substr_window: int = 120        # fingerprint window (chars, normalized)
+    substr_winnow: int = 80         # winnowing: min of each 80-hash window
+    # detection guarantee: shared substrings >= window + winnow - 1 (=199)
+    # chars always produce a shared fingerprint; substr_min_len=200 > 199.
+    # (larger windows ⇒ near-dup pairs with only ~150-char runs rarely share
+    # a fingerprint at all ⇒ far fewer spurious substring candidates)
     substr_min_len: int = 200       # min shared substring to count as dup
     # --- clustering ---
     driver_uf_max_edges: int = 2_000_000  # below this, exact driver union-find

@@ -50,6 +50,36 @@ def simhash_blocks(sim: np.ndarray, blocks: int = 4) -> np.ndarray:
     return (sim[:, None] >> shifts[None, :]) & mask
 
 
+# Manku et al. (WWW'07) style block-combination keys: 64 bits split into 6
+# pieces; every 3-piece combination (C(6,3)=20) forms a ~32-bit key. Hamming
+# distance <= 3 damages <= 3 pieces ⇒ >= 3 pieces clean ⇒ at least one
+# combination's key matches exactly (pigeonhole) — while 32-bit keys make
+# random collisions ~2^16x rarer than 16-bit block keys.
+_PIECE_WIDTHS = (11, 11, 11, 11, 10, 10)
+_PIECE_OFFSETS = tuple(int(np.cumsum((0,) + _PIECE_WIDTHS[:-1])[i])
+                       for i in range(6))
+
+
+def simhash_combo_keys(sim: np.ndarray, r: int = 3) -> tuple[np.ndarray, int]:
+    """(n, n_combos) int-keyed combination table for Hamming <= (6-r) // 1.
+
+    Returns (keys, n_combos); combo index is the column. Guarantee: two
+    simhashes within Hamming distance 6 - r share at least one column value.
+    """
+    from itertools import combinations
+    pieces = [(sim >> np.uint64(off)) & np.uint64((1 << w) - 1)
+              for off, w in zip(_PIECE_OFFSETS, _PIECE_WIDTHS)]
+    cols = []
+    for combo in combinations(range(6), r):
+        k = np.zeros(len(sim), dtype=np.uint64)
+        shift = 0
+        for b in combo:
+            k |= pieces[b] << np.uint64(shift)
+            shift += _PIECE_WIDTHS[b]
+        cols.append(k)
+    return np.stack(cols, axis=1), len(cols)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized popcount of a^b for uint64 arrays."""
     x = a ^ b

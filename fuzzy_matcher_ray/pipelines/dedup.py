@@ -40,50 +40,61 @@ def _edges_only(ds):
 
 
 def exact_dup_edges(norm, cfg: PipelineConfig):
-    """Exact dedup pre-pass: groupby(text_hash) → equal-text star edges.
+    """Exact dedup pre-pass: same 128-bit content key ⇒ duplicate edges.
 
-    Groups with count>1 are rare relative to the corpus; within each group
-    texts are compared for true equality (64-bit hash collisions harmless).
-    ≙ terminal-node ID set (fuzzy_types/types.go:38).
+    ≙ terminal-node ID set (fuzzy_types/types.go:38). Runs through the same
+    skew-aware pair machinery as the LSH passes (key = the two independent
+    content hashes; collision ~2^-128 so no text comparison is needed);
+    exact groups larger than max_band_group emit star+chain edges.
     """
+    from ray.data.aggregate import Min
+
+    from fuzzy_matcher_ray.stages.joins import JOIN_AGG_ARGS, effective_partitions
     from fuzzy_matcher_ray.stages.normalize_stage import TIER_SKIP
-    norm = norm.map_batches(
-        lambda t: t.filter(pc.greater(t["tier"], pa.scalar(TIER_SKIP, pa.int8()))),
-        batch_format="pyarrow")
-    counts = norm.groupby("text_hash").count()
-    from fuzzy_matcher_ray.stages.candidates import _count_col
-    ccol = _count_col(counts)
-    dup_keys = counts.map_batches(
-        lambda t: t.filter(pc.greater(t[ccol], pa.scalar(1))),
-        batch_format="pyarrow").select_columns(["text_hash"])
-    if dup_keys.count() == 0:
+
+    rows = norm.map_batches(
+        lambda t: pa.table({
+            "text_hash": t["text_hash"], "text_hash2": t["text_hash2"],
+            "doc_id": t["doc_id"],
+        }).filter(pc.greater(t["tier"], pa.scalar(TIER_SKIP, pa.int8()))),
+        batch_format="pyarrow").materialize()
+    from fuzzy_matcher_ray.stages.candidates import DRIVER_EXPLODE_MAX_ROWS
+    if rows.count() <= DRIVER_EXPLODE_MAX_ROWS:
+        # driver fast path: one collect, numpy segment min-rep star edges
         import ray.data as rd
-        return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
-                                       "b": pa.array([], pa.int64())}))
-    dup_rows = attach_columns(
-        norm.select_columns(["doc_id", "text_hash", "norm_text"]),
-        dup_keys.map_batches(lambda t: t.append_column("one", pa.nulls(len(t), pa.int8())),
-                             batch_format="pyarrow"),
-        "text_hash", "text_hash", {"one": "one"}, how="inner",
-        num_partitions=cfg.join_num_partitions)
+        t = pa.concat_tables(list(rows.iter_batches(batch_size=1 << 20,
+                                                    batch_format="pyarrow")))
+        h1 = t["text_hash"].to_numpy(zero_copy_only=False)
+        h2 = t["text_hash2"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h2, h1))
+        h1, h2, ids = h1[order], h2[order], ids[order]
+        brk = np.empty(len(ids), dtype=bool)
+        if len(ids) == 0:
+            return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                           "b": pa.array([], pa.int64())}))
+        brk[0] = True
+        brk[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])
+        rep = ids[np.nonzero(brk)[0]][np.cumsum(brk) - 1]
+        keep = ids != rep
+        return rd.from_arrow(pa.table({"a": pa.array(rep[keep]),
+                                       "b": pa.array(ids[keep])}))
+    # star edges via min-rep: one aggregate + one hash join on the full
+    # 128-bit key, zero pair explosion (exact mega-groups cost O(n), not
+    # O(n^2) — the skew story needs no cap here)
+    reps = rows.groupby(["text_hash", "text_hash2"]).aggregate(
+        Min("doc_id", alias_name="rep"))
+    with_rep = rows.join(reps, "inner",
+                         effective_partitions(cfg.join_num_partitions),
+                         on=("text_hash", "text_hash2"),
+                         aggregator_ray_remote_args=JOIN_AGG_ARGS)
 
-    def _star(group: pa.Table) -> pa.Table:
-        # within a hash group, link ids of *identical* texts (collision-safe)
-        ids = group["doc_id"].to_numpy(zero_copy_only=False)
-        texts = group["norm_text"].to_pylist()
-        order = np.argsort(ids)
-        by_text: dict[str, int] = {}
-        a_out, b_out = [], []
-        for i in order:
-            t = texts[i]
-            root = by_text.setdefault(t, int(ids[i]))
-            if root != int(ids[i]):
-                a_out.append(root)
-                b_out.append(int(ids[i]))
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64())})
+    def _edges(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["doc_id"], t["rep"])
+        t = t.filter(keep)
+        return pa.table({"a": t["rep"], "b": t["doc_id"]})
 
-    return dup_rows.groupby("text_hash").map_groups(_star, batch_format="pyarrow")
+    return with_rep.map_batches(_edges, batch_format="pyarrow")
 
 
 def minhash_edges(norm, cfg: PipelineConfig, attacher=None):
@@ -151,31 +162,19 @@ def _exclude_known_pairs(pairs, known_edges, broadcast_max: int = 20_000_000):
                       aggregator_ray_remote_args=JOIN_AGG_ARGS)
 
 
-def substring_edges(norm, cfg: PipelineConfig, exclude_edges=None, attacher=None):
-    """Winnowed-fingerprint co-location → seed-extension-verified long-repeat
-    edges, with suffix-array verification where seeds can't decide.
+def substring_edges(norm, cfg: PipelineConfig, attacher=None, exclude_edges=None):
+    """Winnowed-fingerprint co-location → exact long-repeat verification.
 
-    Per pair we keep the Min and Max packed seed (pos_a<<21|pos_b) plus the
-    shared-fingerprint count. The verifier extends both seeds; if neither
-    reaches min_len and the pair shares >= 3 fingerprints, a suffix-array
-    LCP decides exactly (a >= window+winnow-1 repeat always contains >= 1
-    selected fingerprint, and a >= min_len=200 repeat contains >= 3, so a
-    pair with < 3 shared fps and two failed extensions cannot hide a
-    200-char repeat — rejected without SA).
+    Candidate pairs are docs sharing any winnowed window fingerprint
+    (complete for repeats >= window + winnow - 1 chars). Verification
+    (stages/verify.py SubstringVerifier) intersects stride-1 probe-gram
+    hashes and extends at occurrence pairs — exact for the >= min_len
+    predicate, with a suffix-array fallback only past a tried-pairs budget
+    (pathologically repetitive docs).
     """
     rows = add_stage(norm.select_columns(["doc_id", "norm_text", "tier"]),
                      Winnower, cfg)
-
-    def _pack(t: pa.Table) -> pa.Array:
-        pa_ = t["pos_a"].to_numpy(zero_copy_only=False)
-        pb_ = t["pos_b"].to_numpy(zero_copy_only=False)
-        valid = (pa_ < (1 << 21)) & (pb_ < (1 << 21))   # docs > 2M chars → SA fallback
-        return pa.array(np.where(valid, (pa_ << 21) | pb_, 1 << 62))
-
-    from fuzzy_matcher_ray.stages.candidates import seed_agg_pairs
-    pair_rows = key_pairs(rows, ["fp"], cfg, carry_cols=["pos"],
-                          derive={"pp": _pack, "pp2": _pack}, dedup=False)
-    pairs = seed_agg_pairs(pair_rows)
+    pairs = key_pairs(rows.select_columns(["fp", "doc_id"]), ["fp"], cfg)
     if exclude_edges is not None:
         # pairs already confirmed by the exact/MinHash/SimHash passes are
         # edges regardless of this pass's verdict — skip their (expensive)
@@ -212,30 +211,28 @@ def find_duplicates(docs, cfg: PipelineConfig | None = None,
     # the source is a single parquet file / arrow table (block split, no move)
     norm = ck.stage("normalize",
                     lambda: normalized_docs(docs, cfg).repartition(n_blocks))
-    edge_sets = []
     # one broadcast copy of (doc_id → norm_text) shared by every verify pass
     from fuzzy_matcher_ray.stages.joins import BROADCAST_MAX_ROWS, BroadcastAttacher
     attacher = None
     if norm.count() <= BROADCAST_MAX_ROWS:
         attacher = BroadcastAttacher(norm, "doc_id", ["norm_text"])
-    if "exact" in passes:
-        edge_sets.append(ck.stage("edges_exact", lambda: exact_dup_edges(norm, cfg)))
-    if "minhash" in passes:
-        edge_sets.append(ck.stage(
-            "edges_minhash",
-            lambda: _edges_only(minhash_edges(norm, cfg, attacher=attacher))))
-    if "simhash" in passes:
-        edge_sets.append(ck.stage(
-            "edges_simhash",
-            lambda: _edges_only(simhash_edges(norm, cfg, attacher=attacher))))
-    if "substring" in passes:
-        known = edge_sets[0] if edge_sets else None
-        for e in edge_sets[1:]:
-            known = known.union(e)
-        edge_sets.append(ck.stage(
-            "edges_substring",
-            lambda: _edges_only(substring_edges(norm, cfg, exclude_edges=known,
-                                                attacher=attacher))))
+    builders = {
+        "exact": lambda: exact_dup_edges(norm, cfg),
+        "minhash": lambda: _edges_only(minhash_edges(norm, cfg, attacher=attacher)),
+        "simhash": lambda: _edges_only(simhash_edges(norm, cfg, attacher=attacher)),
+        "substring": lambda: _edges_only(
+            substring_edges(norm, cfg, attacher=attacher)),
+    }
+    # the four passes are independent until the edge union — build and
+    # materialize them on parallel driver threads so their internal barriers
+    # (counts, sorts, collects) overlap instead of serializing end-to-end
+    from concurrent.futures import ThreadPoolExecutor
+    wanted = [p for p in ("exact", "minhash", "simhash", "substring")
+              if p in passes]
+    with ThreadPoolExecutor(max_workers=len(wanted)) as pool:
+        futs = {p: pool.submit(lambda p=p: ck.stage(f"edges_{p}", builders[p]))
+                for p in wanted}
+        edge_sets = [futs[p].result() for p in wanted]
     edges = edge_sets[0]
     for e in edge_sets[1:]:
         edges = edges.union(e)

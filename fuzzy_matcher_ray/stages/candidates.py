@@ -36,8 +36,131 @@ from fuzzy_matcher_ray.functions.shingle import splitmix64
 BROADCAST_KEYS_MAX = 20_000_000
 
 # duplicate-key row sets below this collect to the driver for the vectorized
-# segment explode; beyond it the distributed map_groups path runs.
-DRIVER_EXPLODE_MAX_ROWS = 5_000_000
+# segment explode; beyond it the sort-based distributed explode runs. Driver
+# work is serial — keep this low so big jobs scale with CPUs.
+DRIVER_EXPLODE_MAX_ROWS = 300_000
+
+
+def _segment_explode(gk: np.ndarray, ids: np.ndarray, carries: dict,
+                     cap: int, carry_cols, pair_filter, derive,
+                     skip_first_last: bool = False) -> pa.Table:
+    """Vectorized all-pairs explode of key segments in (sorted) arrays.
+
+    ``skip_first_last`` skips the first and last key value present (used by
+    the per-block interior pass of the sorted distributed explode — those
+    keys may continue in neighboring blocks and are handled separately).
+    Segments larger than ``cap`` emit star+chain edges (derive cols null).
+    """
+    n = len(gk)
+    if n == 0:
+        return _pairs_schema(derive)
+    brk = np.empty(n, dtype=bool)
+    brk[0] = True
+    brk[1:] = gk[1:] != gk[:-1]
+    seg_starts = np.nonzero(brk)[0]
+    sizes = np.diff(np.append(seg_starts, n))
+    lo_skip = gk[0] if skip_first_last else None
+    hi_skip = gk[-1] if skip_first_last else None
+    templates: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    ia_chunks, ib_chunks = [], []
+    hot_a, hot_b = [], []
+    for st, sz in zip(seg_starts.tolist(), sizes.tolist()):
+        if sz < 2:
+            continue
+        if skip_first_last and (gk[st] == lo_skip or gk[st] == hi_skip):
+            continue
+        if sz <= cap:
+            t_ = templates.get(sz)
+            if t_ is None:
+                t_ = np.triu_indices(sz, k=1)
+                templates[sz] = t_
+            ia_chunks.append(t_[0] + st)
+            ib_chunks.append(t_[1] + st)
+        else:
+            u = np.unique(ids[st: st + sz])
+            if len(u) < 2:
+                continue
+            a = np.concatenate([np.full(len(u) - 1, u[0]), u[1:-1]])
+            b = np.concatenate([u[1:], u[2:]])
+            hot_a.append(np.minimum(a, b))
+            hot_b.append(np.maximum(a, b))
+    parts = []
+    if ia_chunks:
+        ia = np.concatenate(ia_chunks)
+        ib = np.concatenate(ib_chunks)
+        keep = ids[ia] != ids[ib]
+        ia, ib = ia[keep], ib[keep]
+        cols = {"doc_id_a": pa.array(ids[ia]), "doc_id_b": pa.array(ids[ib])}
+        for c in carry_cols:
+            cols[f"{c}_a"] = pa.array(carries[c][ia])
+            cols[f"{c}_b"] = pa.array(carries[c][ib])
+        parts.append(_finish_pairs(pa.table(cols), carry_cols, pair_filter, derive))
+    if hot_a:
+        t = pa.table({"a": pa.array(np.concatenate(hot_a)),
+                      "b": pa.array(np.concatenate(hot_b))})
+        for name in derive or {}:
+            t = t.append_column(name, pa.nulls(len(t), pa.int64()))
+        parts.append(t)
+    if not parts:
+        return _pairs_schema(derive)
+    return pa.concat_tables(parts).combine_chunks()
+
+
+def _sorted_explode(dup_rows, key_cols, cfg, carry_cols, pair_filter, derive):
+    """Distributed vectorized explode: global range sort on the combined key,
+    then per-block segment explode — zero per-group Python calls.
+
+    Keys whose rows may straddle block boundaries (each block's first/last
+    key) are skipped in the per-block pass and re-exploded from a tiny
+    collected side-set (≤ 2·max_group rows per block — dup keys are capped).
+    """
+    import ray.data as rd
+    cap = cfg.max_band_group
+
+    def _add_gk(t: pa.Table) -> pa.Table:
+        return t.append_column("gk", pa.array(_combined_key(t, key_cols).view(np.int64)))
+
+    sorted_ds = dup_rows.map_batches(_add_gk, batch_format="pyarrow").sort("gk")
+    sorted_ds = sorted_ds.materialize()
+
+    def _extract(t: pa.Table):
+        gk = t["gk"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        carries = {c: t[c].to_numpy(zero_copy_only=False) for c in carry_cols}
+        return gk, ids, carries
+
+    def _interior(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _pairs_schema(derive)
+        gk, ids, carries = _extract(t)
+        return _segment_explode(gk, ids, carries, cap, carry_cols,
+                                pair_filter, derive, skip_first_last=True)
+
+    interior = sorted_ds.map_batches(_interior, batch_format="pyarrow",
+                                     batch_size=None, zero_copy_batch=True)
+
+    def _boundary(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        gk = t["gk"].to_numpy(zero_copy_only=False)
+        mask = (gk == gk[0]) | (gk == gk[-1])
+        return t.filter(pa.array(mask))
+
+    b_parts = list(sorted_ds.map_batches(_boundary, batch_format="pyarrow",
+                                         batch_size=None)
+                   .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if b_parts:
+        bt = pa.concat_tables(b_parts).combine_chunks()
+        if len(bt):
+            order = np.lexsort((bt["doc_id"].to_numpy(zero_copy_only=False),
+                                bt["gk"].to_numpy(zero_copy_only=False)))
+            bt = bt.take(pa.array(order))
+            gk, ids, carries = _extract(bt)
+            bpairs = _segment_explode(gk, ids, carries, cap, carry_cols,
+                                      pair_filter, derive)
+            if len(bpairs):
+                interior = interior.union(rd.from_arrow(bpairs))
+    return interior
 
 
 def _driver_key_pairs(tbl: pa.Table, key_cols, cfg, carry_cols, pair_filter,
@@ -284,35 +407,20 @@ def key_pairs(key_rows, key_cols: list[str], cfg: PipelineConfig,
             on=tuple(key_cols), aggregator_ray_remote_args=JOIN_AGG_ARGS)
 
     # Explode pairs per duplicate-key group. Two paths:
-    # (a) dup rows fit on the driver (they are the *duplicate-key subset*,
-    #     typically ~1% of key rows) → one vectorized numpy segment explode —
-    #     per-group Python-call overhead of map_groups is ~1 ms/group, which
-    #     at 10^5 groups costs minutes; the segment explode costs ~100 ms.
-    # (b) beyond the threshold → distributed groupby().map_groups, the
-    #     at-scale path (the shuffle co-locates each key's rows).
+    # (a) dup rows fit on the driver → one numpy segment explode (low fixed
+    #     cost; right for tests/small shards)
+    # (b) beyond the threshold → SORT-BASED DISTRIBUTED explode: range sort
+    #     on the key, vectorized per-block segment explode, boundary keys
+    #     re-exploded from a tiny collected side set. Zero per-group Python
+    #     calls — scales with CPUs, unlike groupby().map_groups (~1 ms/group
+    #     of driver-side dispatch at 10^5+ groups).
     n_dup_rows = dup_rows.count() if hasattr(dup_rows, "count") else None
     if n_dup_rows is not None and n_dup_rows <= DRIVER_EXPLODE_MAX_ROWS:
         dup_pairs_ds = _driver_explode(dup_rows, key_cols, carry_cols,
                                        pair_filter, derive, cfg)
     else:
-        def _explode(group: pa.Table) -> pa.Table:
-            n = len(group)
-            if n < 2:
-                return _pairs_schema(derive)
-            ids = group["doc_id"].to_numpy(zero_copy_only=False)
-            ia, ib = np.triu_indices(n, k=1)        # bounded: n <= max_group
-            keep = ids[ia] != ids[ib]
-            ia, ib = ia[keep], ib[keep]
-            cols = {"doc_id_a": pa.array(ids[ia]), "doc_id_b": pa.array(ids[ib])}
-            for c in carry_cols:
-                vals = group[c].to_numpy(zero_copy_only=False)
-                cols[f"{c}_a"] = pa.array(vals[ia])
-                cols[f"{c}_b"] = pa.array(vals[ib])
-            t = pa.table(cols)
-            return _finish_pairs(t, carry_cols, pair_filter, derive)
-
-        dup_pairs_ds = dup_rows.groupby(key_cols).map_groups(
-            _explode, batch_format="pyarrow")
+        dup_pairs_ds = _sorted_explode(dup_rows, key_cols, cfg, carry_cols,
+                                       pair_filter, derive)
 
     # hot path: star + chain per group (vectorized, O(n) per group); skips
     # pair_filter/derive by design — giant groups are exact-ish duplicate

@@ -19,7 +19,7 @@ from fuzzy_matcher_ray.config import PipelineConfig
 from fuzzy_matcher_ray.functions.fingerprint import winnow_batch
 from fuzzy_matcher_ray.functions.minhash import band_hashes, minhash_signatures, perm_params
 from fuzzy_matcher_ray.functions.shingle import shingle_batch
-from fuzzy_matcher_ray.functions.simhash import simhash_batch, simhash_blocks
+from fuzzy_matcher_ray.functions.simhash import simhash_batch, simhash_combo_keys
 from fuzzy_matcher_ray.stages.normalize_stage import TIER_FUZZY
 
 
@@ -61,17 +61,17 @@ class MinHasher:
 
 
 class SimHasher:
-    """(doc_id, fold_text, tier) → block rows
-    (block:int8, block_val:uint64, simhash:uint64, doc_id).
+    """(doc_id, fold_text, tier) → combination-key rows
+    (block:int8, block_val:int64, simhash:int64, doc_id).
 
-    4 × 16-bit blocks: pigeonhole-complete for Hamming distance <= 3, the
-    backstop pass for near-threshold misses of the MinHash S-curve.
+    Manku-style 6-piece / choose-3 combination keys (20 per doc, ~32 bits
+    each): pigeonhole-complete for Hamming distance <= 3 with ~2^16x fewer
+    random key collisions than 16-bit block keys — the backstop pass for
+    near-threshold misses of the MinHash S-curve.
     """
 
-    def __init__(self, cfg: PipelineConfig, blocks: int = 4):
+    def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
-        self.blocks = blocks
-        self.block_ids = np.arange(blocks, dtype=np.int8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -84,13 +84,14 @@ class SimHasher:
                              "doc_id": pa.array([], pa.int64())})
         hashes, counts = shingle_batch(batch["fold_text"], cfg.shingle_k, cfg.seed)
         sim = simhash_batch(hashes, counts)
-        blocks = simhash_blocks(sim, self.blocks)                # (n, blocks)
+        keys, n_combos = simhash_combo_keys(sim)                 # (n, 20)
         doc_ids = batch["doc_id"].to_numpy()
+        combo_ids = np.arange(n_combos, dtype=np.int8)
         return pa.table({
-            "block": pa.array(np.tile(self.block_ids, n)),
-            "block_val": pa.array(blocks.reshape(-1).view(np.int64)),
-            "simhash": pa.array(np.repeat(sim, self.blocks).view(np.int64)),
-            "doc_id": pa.array(np.repeat(doc_ids, self.blocks)),
+            "block": pa.array(np.tile(combo_ids, n)),
+            "block_val": pa.array(keys.reshape(-1).view(np.int64)),
+            "simhash": pa.array(np.repeat(sim, n_combos).view(np.int64)),
+            "doc_id": pa.array(np.repeat(doc_ids, n_combos)),
         })
 
 

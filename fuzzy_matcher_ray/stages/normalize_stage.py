@@ -46,13 +46,18 @@ class NormalizeGate:
             pa.scalar(TIER_FUZZY, pa.int8()), pa.scalar(TIER_EXACT_ONLY, pa.int8()))
         tier = pc.if_else(pc.equal(n_norm, pa.scalar(0)),
                           pa.scalar(TIER_SKIP, pa.int8()), tier)
+        # two independent 64-bit hashes = a 128-bit exact-dup key: collision
+        # probability ~2^-128 ⇒ no per-group text comparison needed even at
+        # 10^12 docs
         thash = pa.array(content_hash(norm, seed=self.cfg.seed).view(np.int64))
+        thash2 = pa.array(content_hash(norm, seed=self.cfg.seed ^ 0x5F3759DF).view(np.int64))
         cols = {
             "doc_id": batch["doc_id"],
             "norm_text": norm,
             "fold_text": fold,
             "n_norm": pc.cast(n_norm, pa.int64()),
             "text_hash": thash,
+            "text_hash2": thash2,
             "tier": tier,
         }
         return pa.table(cols)

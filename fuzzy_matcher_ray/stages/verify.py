@@ -82,9 +82,10 @@ class JaccardVerifier:
         })
 
 
-def _extend_match(ta: str, ia: int, tb: str, ib: int, width: int) -> int:
-    """Length of the maximal common run around the identical seed window
-    ta[ia:ia+width] == tb[ib:ib+width]. Chunked slice compares (C speed)."""
+def _extend_lr(ta: str, ia: int, tb: str, ib: int, width: int) -> tuple[int, int]:
+    """(left, right) extents of the maximal common run around the identical
+    seed window ta[ia:ia+width] == tb[ib:ib+width]; run length = left+right.
+    Chunked slice compares (C speed)."""
     left = 0
     step = 256
     while True:
@@ -94,7 +95,6 @@ def _extend_match(ta: str, ia: int, tb: str, ib: int, width: int) -> int:
         if ta[ia - left - s: ia - left] == tb[ib - left - s: ib - left]:
             left += s
         else:
-            s = 1
             while ia - left - 1 >= 0 and ib - left - 1 >= 0 and \
                     ta[ia - left - 1] == tb[ib - left - 1]:
                 left += 1
@@ -112,6 +112,12 @@ def _extend_match(ta: str, ia: int, tb: str, ib: int, width: int) -> int:
                     ta[ia + right] == tb[ib + right]:
                 right += 1
             break
+    return left, right
+
+
+def _extend_match(ta: str, ia: int, tb: str, ib: int, width: int) -> int:
+    """Run length of the maximal common run around the identical seed."""
+    left, right = _extend_lr(ta, ia, tb, ib, width)
     return left + right
 
 
@@ -143,47 +149,92 @@ class SubstringVerifier:
         cross[1:] = side[1:] != side[:-1]
         return int(lcp[cross].max()) if cross.any() else 0
 
-    def _try_seed(self, ta: str, tb: str, pp, width: int) -> int:
-        if pp is None or not (0 <= pp < (1 << 62)):
-            return -1                       # no usable seed
-        ia, ib = pp >> 21, pp & ((1 << 21) - 1)
-        if ia + width <= len(ta) and ta[ia: ia + width] == tb[ib: ib + width]:
-            return _extend_match(ta, ia, tb, ib, width)
-        return 0
+    _MAX_TRIES = 2048     # occurrence-pair budget before the SA fallback
+
+    def _pair_common_len(self, ta: str, tb: str, ha: np.ndarray,
+                         hb: np.ndarray, probe: int, min_len: int) -> int:
+        """Exact >=min_len decision via probe-gram intersection + extension.
+
+        Any common substring of length >= min_len contains a probe-length
+        (min_len//2) gram at every offset, so both docs share that gram's
+        hash; extending at the correct occurrence pair recovers the run.
+        Early exit on success keeps the predicate exact; if the
+        occurrence-pair budget runs out before success, the suffix array
+        decides (repetitive pathological docs only).
+        """
+        common = np.intersect1d(ha, hb)
+        if len(common) == 0:
+            return 0                        # exact reject: no shared gram
+        # all matched positions, grouped by gram value — one vectorized pass
+        ma = np.nonzero(np.isin(ha, common))[0]
+        mb = np.nonzero(np.isin(hb, common))[0]
+        oa = ma[np.argsort(ha[ma], kind="stable")]
+        ob = mb[np.argsort(hb[mb], kind="stable")]
+        va, vb = ha[oa], hb[ob]
+        best = 0
+        tries = 0
+        found: list[tuple[int, int, int]] = []   # (run_start_a, run_end_a, offset)
+        ja = jb = 0
+        na_, nb_ = len(oa), len(ob)
+        while ja < na_ and jb < nb_:
+            if va[ja] < vb[jb]:
+                ja += 1
+                continue
+            if va[ja] > vb[jb]:
+                jb += 1
+                continue
+            v = va[ja]
+            ja2 = ja
+            while ja2 < na_ and va[ja2] == v:
+                ja2 += 1
+            jb2 = jb
+            while jb2 < nb_ and vb[jb2] == v:
+                jb2 += 1
+            for ia in oa[ja:ja2].tolist():
+                for ib in ob[jb:jb2].tolist():
+                    d = ib - ia
+                    # aligned-run memo: (ia, ib) inside an already-explored
+                    # run with the same offset rediscovers it exactly — skip
+                    if any(s <= ia < e and d == off for s, e, off in found):
+                        continue
+                    tries += 1
+                    if tries > self._MAX_TRIES:
+                        return self._sa_common_len(ta, tb)
+                    if ta[ia: ia + probe] != tb[ib: ib + probe]:
+                        continue            # 64-bit hash collision
+                    left, right = _extend_lr(ta, ia, tb, ib, probe)
+                    ext = left + right
+                    found.append((ia - left, ia + right, d))
+                    if ext > best:
+                        best = ext
+                        if best >= min_len:
+                            return best     # exact for the >= min_len test
+            ja, jb = ja2, jb2
+        return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from fuzzy_matcher_ray.functions.shingle import counts_to_offsets, shingle_batch
         cfg = self.cfg
         min_len = cfg.substr_min_len
-        width = cfg.substr_window
-        # a repeat of min_len chars holds (min_len - window - winnow + 2)
-        # winnow windows ⇒ at least this many selected fingerprints:
-        nw = min_len - width - cfg.substr_winnow + 2
-        n_needed = max(1, -(-nw // cfg.substr_winnow)) if nw > 0 else 1
-        names = batch.schema.names
+        probe = max(8, min_len // 2)
         n = len(batch)
-        pps = batch["pp"].to_pylist() if "pp" in names else [None] * n
-        pp2s = batch["pp2"].to_pylist() if "pp2" in names else [None] * n
-        nfps = batch["n_fp"].to_pylist() if "n_fp" in names else [n_needed] * n
         ta_list = batch["text_a"].to_pylist()
         tb_list = batch["text_b"].to_pylist()
         a_list = batch["a"].to_pylist()
         b_list = batch["b"].to_pylist()
+        # vectorized probe-gram hashing for the whole batch, both sides
+        ha_all, ca = shingle_batch(batch["text_a"], probe, cfg.seed ^ 0xD1CE)
+        hb_all, cb = shingle_batch(batch["text_b"], probe, cfg.seed ^ 0xD1CE)
+        offs_a, offs_b = counts_to_offsets(ca), counts_to_offsets(cb)
         a_out, b_out, l_out = [], [], []
         for i in range(n):
             ta = ta_list[i] or ""
             tb = tb_list[i] or ""
             if min(len(ta), len(tb)) < min_len:
                 continue
-            e1 = self._try_seed(ta, tb, pps[i], width)
-            best = max(e1, 0)
-            if best < min_len and pp2s[i] != pps[i]:
-                best = max(best, self._try_seed(ta, tb, pp2s[i], width))
-            if best < min_len:
-                seedless = e1 < 0
-                if seedless or (nfps[i] or 0) >= n_needed:
-                    # seedless (hot-group) pair, or enough shared fps that a
-                    # long repeat could hide between the min/max seeds → SA
-                    best = self._sa_common_len(ta, tb)
+            best = self._pair_common_len(
+                ta, tb, ha_all[offs_a[i]: offs_a[i + 1]],
+                hb_all[offs_b[i]: offs_b[i + 1]], probe, min_len)
             if best >= min_len:
                 a_out.append(a_list[i])
                 b_out.append(b_list[i])

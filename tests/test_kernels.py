@@ -13,7 +13,8 @@ from fuzzy_matcher_ray.functions.minhash import (
     EMPTY_SIG, band_hashes, est_jaccard, minhash_signatures, perm_params)
 from fuzzy_matcher_ray.functions.shingle import (
     counts_to_offsets, shingle_batch, unique_per_doc)
-from fuzzy_matcher_ray.functions.simhash import hamming64, simhash_batch, simhash_blocks
+from fuzzy_matcher_ray.functions.simhash import (
+    hamming64, simhash_batch, simhash_blocks, simhash_combo_keys)
 from fuzzy_matcher_ray.functions.suffix import lcp_array, long_repeat_pairs, suffix_array
 from fuzzy_matcher_ray.functions.unionfind import connected_components
 
@@ -157,8 +158,11 @@ def test_simhash_near_and_far():
     assert d_near <= 6 and d_far > 10
     blocks = simhash_blocks(s, 4)
     assert blocks.shape == (3, 4)
+    keys, ncombo = simhash_combo_keys(s)
+    assert keys.shape == (3, 20) and ncombo == 20
     if d_near <= 3:
-        assert (blocks[0] == blocks[1]).any()        # pigeonhole guarantee
+        assert (keys[0] == keys[1]).any()            # pigeonhole guarantee
+    assert not (keys[0] == keys[2]).any()            # far docs don't collide
 
 
 # ---------------- suffix array / substring dedup -----------------------------
