@@ -32,9 +32,6 @@ from fuzzy_matcher_ray.stages.verify import (
     JaccardVerifier, SubstringVerifier, attach_pair_texts, simhash_pair_filter)
 from fuzzy_matcher_ray.state.checkpoint import Checkpointer
 
-_EDGE_SCHEMA = {"a": pa.int64(), "b": pa.int64()}
-
-
 def _edges_only(ds):
     return ds.select_columns(["a", "b"])
 

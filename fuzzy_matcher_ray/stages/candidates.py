@@ -483,56 +483,6 @@ def _pairs_schema(derive) -> pa.Table:
     return pa.table(cols)
 
 
-def seed_agg_pairs(pairs, driver_max: int = 2 * DRIVER_EXPLODE_MAX_ROWS):
-    """(a, b, pp, pp2) rows → (a, b, pp=Min, pp2=Max, n_fp=Count) per pair.
-
-    Driver numpy fast path under ``driver_max`` rows; Ray groupby aggregation
-    beyond. Used by the substring pass to keep two seed candidates + the
-    shared-fingerprint count per pair.
-    """
-    from ray.data.aggregate import Count, Max, Min
-    n = pairs.count()
-    if n > driver_max:
-        return pairs.groupby(["a", "b"]).aggregate(
-            Min("pp", alias_name="pp", ignore_nulls=True),
-            Max("pp2", alias_name="pp2", ignore_nulls=True),
-            Count(alias_name="n_fp"))
-    import ray.data as rd
-    parts = list(pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    if not parts:
-        return pairs
-    t = pa.concat_tables(parts).combine_chunks()
-    if len(t) == 0:
-        return rd.from_arrow(pa.table({
-            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-            "pp": pa.array([], pa.int64()), "pp2": pa.array([], pa.int64()),
-            "n_fp": pa.array([], pa.int64())}))
-    a = t["a"].to_numpy(zero_copy_only=False)
-    b = t["b"].to_numpy(zero_copy_only=False)
-    pp = t["pp"].to_numpy(zero_copy_only=False)
-    if pp.dtype.kind == "f":                       # nulls from hot-group rows
-        pp = np.where(np.isnan(pp), np.float64(1 << 62), pp)
-    pp = pp.astype(np.int64)
-    order = np.lexsort((b, a))
-    a, b, pp = a[order], b[order], pp[order]
-    brk = np.empty(len(a), dtype=bool)
-    brk[0] = True
-    brk[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-    seg = np.nonzero(brk)[0]
-    n_fp = np.diff(np.append(seg, len(a)))
-    # for the Max seed, sentinel (1<<62, no-seed) must lose to any valid seed
-    pp_for_max = np.where(pp >= (1 << 62), np.int64(-1), pp)
-    out = pa.table({
-        "a": pa.array(a[seg]), "b": pa.array(b[seg]),
-        "pp": pa.array(np.minimum.reduceat(pp, seg)),
-        "pp2": pa.array(np.maximum.reduceat(pp_for_max, seg)),
-        "n_fp": pa.array(n_fp),
-    })
-    chunk = 1 << 15
-    slices = [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)]
-    return rd.from_arrow(slices)
-
-
 def dedup_pairs(pairs, min_cols: list[str] | None = None, aggs=None):
     """Each (a,b) exactly once — verify-once semantics (min-edit merge ≙
     fuzzy_matcher_core.go:198-205 keeps one row per pair).

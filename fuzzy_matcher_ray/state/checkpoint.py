@@ -76,3 +76,24 @@ class Checkpointer:
             json.dump(m, f, indent=2)
         self.metrics[name] = m
         return out
+
+
+def write_atomic(ds, out_dir: str, partition_label: str | None = None) -> str:
+    """Write a Dataset to ``out_dir`` atomically (tmp dir → rename).
+
+    ``Dataset.write_parquet`` into an existing directory APPENDS part files —
+    a rerun silently doubles the output. This writes to a temp sibling and
+    replaces, so reruns are idempotent. With ``partition_label`` the output
+    lands in ``out_dir/<label>/`` — one directory per input shard/key range,
+    the resumable-output layout (a failed multi-shard run skips labels that
+    already exist).
+    """
+    target = os.path.join(out_dir, partition_label) if partition_label else out_dir
+    parent = os.path.dirname(target.rstrip("/")) or "."
+    os.makedirs(parent, exist_ok=True)
+    tmp = os.path.join(parent, f".tmp-{uuid.uuid4().hex[:8]}")
+    ds.write_parquet(tmp)
+    if os.path.isdir(target):
+        shutil.rmtree(target)
+    os.replace(tmp, target)
+    return target

@@ -1,0 +1,48 @@
+"""Incremental-append semantics (≙ InsertEntries, fuzzy_matcher.go:21-27):
+signatures are per-doc and deterministic, so adding a partition never changes
+existing verdicts — pairs co-clustered in a run over corpus A stay
+co-clustered in a run over A ∪ B. Plus atomic-writer idempotency."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from fuzzy_matcher_ray.config import PipelineConfig
+from fuzzy_matcher_ray.sources.webpages import make_webpages
+
+
+def _docs_tbl(n, seed, id_offset=0):
+    pages, _ = make_webpages(n, seed=seed)
+    return pa.table({
+        "doc_id": pa.array(range(id_offset, id_offset + len(pages)), pa.int64()),
+        "url": pages["url"], "text": pages["text"], "lang": pages["lang"]})
+
+
+def test_incremental_append_preserves_clusters(ray_session):
+    import ray.data as rd
+    from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
+    cfg = PipelineConfig()
+    a = _docs_tbl(300, seed=31)
+    b = _docs_tbl(150, seed=32, id_offset=1_000_000)
+    out_a = find_duplicates(rd.from_arrow(a), cfg).to_pandas()
+    out_ab = find_duplicates(rd.from_arrow(pa.concat_tables([a, b])), cfg).to_pandas()
+    la = dict(zip(out_a.doc_id, out_a.cluster_id))
+    lab = dict(zip(out_ab.doc_id, out_ab.cluster_id))
+    together_a = {(i, j) for i in la for j in la if i < j and la[i] == la[j]}
+    for i, j in together_a:
+        assert lab[i] == lab[j], f"pair ({i},{j}) split after append"
+    assert len(out_ab) == 450
+
+
+def test_write_atomic_idempotent(ray_session, tmp_path):
+    import ray.data as rd
+    from fuzzy_matcher_ray.state.checkpoint import write_atomic
+    ds = rd.from_arrow(pa.table({"x": pa.array(range(100), pa.int64())}))
+    out = str(tmp_path / "out")
+    write_atomic(ds, out, partition_label="shard-0")
+    write_atomic(ds, out, partition_label="shard-0")   # rerun: no doubling
+    n = pq.read_table(os.path.join(out, "shard-0")).num_rows
+    assert n == 100
+    write_atomic(ds, out, partition_label="shard-1")
+    assert sorted(os.listdir(out)) == ["shard-0", "shard-1"]
