@@ -401,8 +401,19 @@ def key_pairs(key_rows, key_cols: list[str], cfg: PipelineConfig,
         dup_rows = _membership_filter(key_rows, key_cols, dup_arr)
     else:
         from fuzzy_matcher_ray.stages.joins import JOIN_AGG_ARGS, effective_partitions
+        # groupby promotes narrow key dtypes (int8 band → int64) — cast the
+        # key table back to the row schema or the join rejects the key types
+        row_schema = {f.name: f.type
+                      for f in key_rows.schema().base_schema}
+
+        def _cast_keys(t: pa.Table) -> pa.Table:
+            cols = {c: t[c].cast(row_schema[c]) if t.schema.field(c).type != row_schema[c]
+                    else t[c] for c in key_cols}
+            return pa.table(cols)
+
         dup_rows = key_rows.join(
-            dup_keys_ds, "left_semi",
+            dup_keys_ds.map_batches(_cast_keys, batch_format="pyarrow"),
+            "left_semi",
             effective_partitions(cfg.join_num_partitions),
             on=tuple(key_cols), aggregator_ray_remote_args=JOIN_AGG_ARGS)
 

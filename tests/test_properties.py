@@ -1,0 +1,73 @@
+"""Property-based kernel tests (hypothesis): the vectorized kernels against
+naive reference implementations on random inputs."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from fuzzy_matcher_ray.functions.normalize import normalize_text
+from fuzzy_matcher_ray.functions.shingle import (
+    counts_to_offsets, shingle_batch, unique_per_doc)
+from fuzzy_matcher_ray.functions.similarity import levenshtein
+from fuzzy_matcher_ray.functions.suffix import lcp_array, suffix_array
+
+TEXT = st.text(alphabet="abcdef 0., !", min_size=0, max_size=60)
+
+
+def _naive_lev(s1: str, s2: str) -> int:
+    prev = list(range(len(s2) + 1))
+    for i, a in enumerate(s1, 1):
+        cur = [i]
+        for j, b in enumerate(s2, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (a != b)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXT, TEXT)
+def test_levenshtein_matches_naive(s1, s2):
+    assert levenshtein(s1, s2) == _naive_lev(s1, s2)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXT, min_size=1, max_size=8), st.integers(2, 6))
+def test_shingle_counts_and_sets(texts, k):
+    arr = pa.array(texts, pa.string())
+    h, c = shingle_batch(arr, k)
+    for i, t in enumerate(texts):
+        assert c[i] == max(0, len(t.encode()) - k + 1)
+    uh, uc = unique_per_doc(h, c)
+    offs = counts_to_offsets(uc)
+    for i, t in enumerate(texts):
+        bs = t.encode()
+        expected = {bs[j: j + k] for j in range(max(0, len(bs) - k + 1))}
+        assert uc[i] == len(expected)
+        seg = uh[offs[i]: offs[i + 1]]
+        assert len(np.unique(seg)) == len(seg)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=80))
+def test_suffix_array_is_sorted_permutation(data):
+    s = np.frombuffer(data, dtype=np.uint8)
+    sa = suffix_array(s)
+    assert sorted(sa.tolist()) == list(range(len(s)))
+    suffixes = [data[i:] for i in sa.tolist()]
+    assert suffixes == sorted(suffixes)
+    lcp = lcp_array(s, sa)
+    for i in range(1, len(s)):
+        a, b = data[sa[i - 1]:], data[sa[i]:]
+        common = 0
+        while common < min(len(a), len(b)) and a[common] == b[common]:
+            common += 1
+        assert lcp[i] == common
+
+
+@settings(max_examples=80, deadline=None)
+@given(TEXT)
+def test_normalize_idempotent_and_alnum(s):
+    n = normalize_text(s)
+    assert normalize_text(n) == n
+    assert all(c.isascii() and c.isalnum() for c in n)
