@@ -98,10 +98,25 @@ _NTOK = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
          "length(regexp_split_to_array(trim(text), '[ \t\n\r]+')) END")
 
 
+_PROBES_CTE = """
+    probes AS (
+        SELECT p_partkey AS probe_id,
+               CASE p_partkey
+                 WHEN 0 THEN substr(p_name, 1, length(p_name) - 1)
+                 WHEN 1 THEN CASE WHEN length(p_name) > 3
+                      THEN substr(p_name, 1, 1) || substr(p_name, 3, 1)
+                           || substr(p_name, 2, 1) || substr(p_name, 4)
+                      ELSE substr(p_name, 1, 1) || p_name END
+                 WHEN 2 THEN regexp_replace(
+                      regexp_replace(p_name, 'o', '0'), 'l', '1')
+                 WHEN 3 THEN substr(p_name, 2)
+                 ELSE substr(p_name, 1, 1) || p_name
+               END AS probe_text
+        FROM part WHERE p_partkey < 5)"""
+
+
 def oracle_sql() -> dict[str, str]:
     from fuzzy_matcher_ray.pipelines.events import TTL_CUTOFF
-    from fuzzy_matcher_ray.pipelines.fuzzy_query import probe_values_sql
-    probes = probe_values_sql(SF_SMOKE.replace("sf0.001", "sf0.01"))
     return {
         "normalize_text":
             f"SELECT doc_id, {_NORM} AS norm_text FROM documents ORDER BY doc_id",
@@ -202,11 +217,15 @@ def oracle_sql() -> dict[str, str]:
             r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
                         ORDER BY c DESC, cand_id) AS rn FROM s)
             SELECT vec_id, cand_id AS nn_id FROM r WHERE rn = 1 ORDER BY vec_id""",
+        # probes are derived in SQL from the SAME part table the driver points
+        # queries() at — the oracle and the Ray pipeline agree at any sf
+        # (round-1 advice: no hardcoded sf path).
         "fuzzy_topk_levenshtein": f"""
-            WITH scored AS (
+            WITH {_PROBES_CTE},
+            scored AS (
                 SELECT probes.probe_id, p.p_partkey,
                        levenshtein(probes.probe_text, p.p_name)::BIGINT AS dist
-                FROM part p, {probes}),
+                FROM part p, probes),
             r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
                         ORDER BY dist, p_partkey)::BIGINT AS rnk FROM scored)
             SELECT probe_id::BIGINT AS probe_id, p_partkey, dist, rnk

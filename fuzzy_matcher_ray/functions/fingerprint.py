@@ -89,12 +89,12 @@ def winnow_batch(texts: pa.Array | pa.ChunkedArray, window: int, winnow: int,
     # docs with 0 < cnt < winnow: single min over the whole segment
     small = (counts > 0) & (counts < winnow)
     if small.any():
-        seg_starts = offs[:-1][small]
-        seg_mins = np.minimum.reduceat(hashes, seg_starts)
-        # argmin within segment: first position where value == min
-        for st, cnt, mn in zip(seg_starts, counts[small], seg_mins):
+        # per true segment [st, st+cnt): a single reduceat over only the small
+        # docs' starts would extend each segment to the NEXT small doc's start,
+        # mixing in intervening docs' hashes — min/argmin the real slice.
+        for st, cnt in zip(offs[:-1][small].tolist(), counts[small].tolist()):
             sel_chunks.append(np.array(
-                [st + int(np.argmax(hashes[st:st + cnt] == mn))], dtype=np.int64))
+                [st + int(hashes[st:st + cnt].argmin())], dtype=np.int64))
     if not sel_chunks:
         return (np.empty(0, np.uint64), np.zeros(n_docs, dtype=np.int64),
                 np.empty(0, np.int64))

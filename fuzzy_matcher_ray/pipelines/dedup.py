@@ -194,7 +194,9 @@ def find_duplicates(docs, cfg: PipelineConfig | None = None,
     The full flagship. Returns a Dataset of one row per input doc.
     """
     cfg = cfg or PipelineConfig()
-    if docs.count() == 0:
+    # emptiness probe via limit(1): executes at most one task, unlike a
+    # count() which would run the full upstream pipeline before the real run
+    if docs.limit(1).count() == 0:
         import ray.data as rd
         empty = {"doc_id": pa.array([], pa.int64()),
                  "cluster_id": pa.array([], pa.int64()),

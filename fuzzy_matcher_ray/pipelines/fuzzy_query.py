@@ -81,11 +81,3 @@ def fuzzy_topk_levenshtein(sf_dir: str, k: int = 3):
         return g
     out = scored.groupby("probe_id").map_groups(_topk, batch_format="pandas")
     return out.sort(["probe_id", "rnk"])
-
-
-def probe_values_sql(sf_dir: str) -> str:
-    """VALUES clause of (probe_id, probe_text) for the DuckDB oracle."""
-    probes = make_probes(sf_dir)
-    rows = ", ".join(f"({pid}, '{txt.replace(chr(39), chr(39)*2)}')"
-                     for pid, txt in probes)
-    return f"(VALUES {rows}) AS probes(probe_id, probe_text)"

@@ -107,10 +107,33 @@ def _distributed_labels(edges, cfg: PipelineConfig):
             })
 
         msgs = e.map_batches(_msgs, batch_format="pyarrow").union(labels)
-        labels = msgs.groupby("node").aggregate(Min("label", alias_name="label"))
-        labels = labels.materialize()
+        labels = msgs.groupby("node").aggregate(
+            Min("label", alias_name="label")).materialize()
+        # pointer-jumping halving: label ← label[label]. Every label value is
+        # itself a node (labels start as node ids and only min-propagate), so
+        # the self-lookup is total; composing it with the edge relaxation
+        # makes the reach per round grow geometrically — rounds needed are
+        # O(log diameter), so max_label_rounds=12 covers diameters ~2^12.
+        jumped = attach_columns(labels, labels, "label", "node",
+                                {"label": "label2"}, how="left",
+                                num_partitions=P)
+
+        def _jump(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            lab = pc.coalesce(pc.cast(t["label2"], pa.int64()), t["label"])
+            return pa.table({"node": t["node"], "label": lab})
+
+        labels = jumped.map_batches(_jump, batch_format="pyarrow").materialize()
         cur_sum = labels.sum("label")   # monotone witness (int64-safe in sandbox)
         if prev_sum is not None and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # loop exhausted without the fixpoint break — labels may be split
+        # across what should be one component. Never return silently wrong
+        # clusters (ADVICE r1): fail loudly; callers can raise the cap.
+        raise RuntimeError(
+            f"label propagation did not converge within "
+            f"{cfg.max_label_rounds} rounds (cluster diameter too large); "
+            "raise PipelineConfig.max_label_rounds")
     return labels

@@ -64,6 +64,16 @@ class _Lookup:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.keys is None:
             self.keys, self.values = ray.get(self.ref)
+        if len(self.keys) == 0:
+            # empty lookup side: inner → no rows survive; left → all-null cols
+            if self.drop_missing:
+                batch = batch.slice(0, 0)
+            for value_col, out_col in self.out_cols.items():
+                vals = self.values[value_col]
+                typ = (pa.array(vals[:0]).type if isinstance(vals, np.ndarray)
+                       else vals.type)
+                batch = batch.append_column(out_col, pa.nulls(len(batch), typ))
+            return batch
         probe = batch[self.left_key].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(self.keys, probe)
         idx_c = np.clip(idx, 0, len(self.keys) - 1)
