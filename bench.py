@@ -74,9 +74,13 @@ def run_bench() -> dict:
     with open(pages_path, "rb") as f:
         while f.read(1 << 24):
             pass
-    # warm the cluster: spin up worker processes / import numpy+pyarrow in
-    # them before timing (32 cold workers cost ~20s that isn't pipeline work)
-    warm_path = write_webpages("/tmp/fmr_bench_corpus", n_docs=500, seed=5)
+    # warm the cluster: spin up worker processes, import numpy+pyarrow in
+    # them, AND run full-size verify batches once so every worker's allocator
+    # retains the large hash-buffer arenas. This sandbox VM (lazy guest
+    # memory) serves concurrent first-touch of fresh multi-MB mappings at
+    # ~100x normal fault cost — a one-time per-process effect (~10s wall)
+    # that would otherwise be billed to the first measured pipeline stage.
+    warm_path = write_webpages("/tmp/fmr_bench_corpus", n_docs=4000, seed=5)
     find_duplicates(webpages_source(warm_path), cfg).count()
 
     queries: dict[str, float] = {}

@@ -51,7 +51,10 @@ class PipelineConfig:
     driver_uf_max_edges: int = 2_000_000  # below this, exact driver union-find
     max_label_rounds: int = 12      # distributed min-label propagation cap
     # --- execution ---
-    batch_size: int = 1024          # docs per batch through minhash stage
+    batch_size: int = 1024          # docs per batch through signature stage
+    verify_batch_size: int = 4096   # pairs per batch through Jaccard verify
+    # (bigger batches raise the distinct-doc dedup ratio in the verifier —
+    # each distinct doc is shingled once per batch)
     minhash_actors: tuple = (1, 8)  # actor-pool autoscaling bounds
     signature_actor_pool: bool = False  # pool only when per-actor state is heavy
     join_num_partitions: int = 32   # hash-join partitioning (∝ CPUs)

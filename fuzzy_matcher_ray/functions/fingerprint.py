@@ -52,6 +52,56 @@ def content_hash(texts: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray
     return splitmix64(sums ^ (lens * _K2))
 
 
+def _sliding_argmin(h: np.ndarray, w: int) -> np.ndarray:
+    """Global index of the (leftmost) minimum of every length-``w`` sliding
+    window over ``h`` — O(n) via the two-block prefix/suffix-min trick
+    (each window spans at most two w-aligned blocks; its min is
+    min(suffix-min of the left block from the window start, prefix-min of
+    the right block up to the window end)). ~w/4 times faster than the
+    per-window argmin scan the naive formulation needs.
+    """
+    n = h.size
+    m = n - w + 1                          # number of windows
+    nb = (n + w - 1) // w                  # padded block count
+    pad = nb * w - n
+    hp = np.concatenate([h, np.full(pad, np.uint64(0xFFFFFFFFFFFFFFFF))]) \
+        if pad else h
+    blocks = hp.reshape(nb, w)
+    cols = np.arange(w, dtype=np.int64)
+    # prefix: min/argmin of block[:, :j+1]; leftmost on ties — only STRICT
+    # decreases of the running min mark a new argmin (a later tie must not
+    # displace the earlier occurrence)
+    pmin = np.minimum.accumulate(blocks, axis=1)
+    prev = np.empty_like(pmin)
+    prev[:, 0] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    prev[:, 1:] = pmin[:, :-1]
+    pidx = np.maximum.accumulate(
+        np.where(blocks < prev, cols[None, :], -1), axis=1)
+    # suffix: min/argmin of block[:, j:]; leftmost on ties
+    rb = blocks[:, ::-1]
+    smin = np.minimum.accumulate(rb, axis=1)[:, ::-1]
+    sidx_r = np.where(rb == np.minimum.accumulate(rb, axis=1),
+                      cols[None, :], -1)
+    sidx = (w - 1) - np.maximum.accumulate(sidx_r, axis=1)[:, ::-1]
+    # window starting at s: suffix part of block k = s // w from offset s%w,
+    # prefix part of block k+1 up to offset (s+w-1) % w
+    s = np.arange(m, dtype=np.int64)
+    k = s // w
+    o = s - k * w
+    left_min = smin[k, o]
+    left_idx = k * w + sidx[k, o]
+    out = left_idx
+    cross = o > 0                          # o == 0 → window == one block
+    if cross.any():
+        kc, oc = k[cross], o[cross]
+        right_min = pmin[kc + 1, oc - 1]
+        right_idx = (kc + 1) * w + pidx[kc + 1, oc - 1]
+        take_right = right_min < left_min[cross]   # leftmost min on ties
+        out = out.copy()
+        out[np.nonzero(cross)[0][take_right]] = right_idx[take_right]
+    return out
+
+
 def winnow_batch(texts: pa.Array | pa.ChunkedArray, window: int, winnow: int,
                  seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
     """Winnowed fingerprints per document.
@@ -71,15 +121,7 @@ def winnow_batch(texts: pa.Array | pa.ChunkedArray, window: int, winnow: int,
     # identical fingerprint in both documents (Schleimer et al. guarantee).
     sel_chunks: list[np.ndarray] = []
     if hashes.size >= winnow:
-        sw = np.lib.stride_tricks.sliding_window_view(hashes, winnow)
-        # argmin on the strided view is ~10x slower than on contiguous data —
-        # chunked contiguous copies keep memory bounded and speed high
-        rel = np.empty(len(sw), dtype=np.int64)
-        CH = 1 << 18
-        for lo in range(0, len(sw), CH):
-            rel[lo:lo + CH] = np.ascontiguousarray(sw[lo:lo + CH]).argmin(axis=1)
-        g = np.arange(len(sw), dtype=np.int64)
-        pos_all = rel + g                       # global index of each window min
+        pos_all = _sliding_argmin(hashes, winnow)
         # keep windows fully inside one doc: start >= off[d], start+w <= off[d+1]
         w_counts = np.maximum(counts - winnow + 1, 0)
         starts = offs[:-1]

@@ -45,10 +45,15 @@ def minhash_signatures(hashes: np.ndarray, counts: np.ndarray,
     mins = np.empty((len(ne_counts), num_perms), dtype=np.uint64)
     # per-perm 1D passes: contiguous uint64 multiply-add is SIMD-vectorized
     # (~35x faster than the broadcast (m, k) 2D product) and 1D reduceat is
-    # likewise much faster than its axis=0 2D form.
+    # likewise much faster than its axis=0 2D form. ONE scratch buffer is
+    # reused across all perms — the naive `hashes * a[j] + b[j]` allocates
+    # num_perms fresh multi-MB temporaries per batch, which doubles memory
+    # traffic and collapses throughput when tasks share one bus.
+    scratch = np.empty_like(hashes)
     for j in range(num_perms):
-        col = hashes * a[j] + b[j]          # uint64 wraparound intended
-        mins[:, j] = np.minimum.reduceat(col, seg_starts)
+        np.multiply(hashes, a[j], out=scratch)  # uint64 wraparound intended
+        np.add(scratch, b[j], out=scratch)
+        mins[:, j] = np.minimum.reduceat(scratch, seg_starts)
     sig[nonempty, :] = mins
     return sig
 
@@ -69,8 +74,3 @@ def band_hashes(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
     # mix band index in so identical row-content in different bands differs
     h = splitmix64(h ^ np.arange(bands, dtype=np.uint64)[None, :])
     return h
-
-
-def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
-    """Estimated Jaccard = fraction of equal signature components (row-wise)."""
-    return (sig_a == sig_b).mean(axis=1)

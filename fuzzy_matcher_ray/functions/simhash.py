@@ -33,21 +33,16 @@ def simhash_batch(hashes: np.ndarray, counts: np.ndarray) -> np.ndarray:
     ne_counts = counts[nonempty]
     vals = np.zeros(len(ne_counts), dtype=np.uint64)
     # per-bit 1D passes: contiguous shift/mask/reduceat are SIMD-fast, unlike
-    # the broadcast (m, 64) bit matrix (which also costs m*64 bytes)
+    # the broadcast (m, 64) bit matrix (which also costs m*64 bytes). One
+    # scratch reused across all 64 bits — no per-bit multi-MB temporaries.
+    scratch = np.empty_like(hashes)
     for j in range(64):
-        bit = ((hashes >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
-        sums = np.add.reduceat(bit, seg_starts)
+        np.right_shift(hashes, np.uint64(j), out=scratch)
+        np.bitwise_and(scratch, np.uint64(1), out=scratch)
+        sums = np.add.reduceat(scratch.view(np.int64), seg_starts)  # 0/1 vals
         vals |= (((2 * sums) > ne_counts).astype(np.uint64) << np.uint64(j))
     out[nonempty] = vals
     return out
-
-
-def simhash_blocks(sim: np.ndarray, blocks: int = 4) -> np.ndarray:
-    """(n, blocks) uint64 block values (16-bit chunks for blocks=4)."""
-    width = 64 // blocks
-    mask = np.uint64((1 << width) - 1)
-    shifts = (np.arange(blocks, dtype=np.uint64) * np.uint64(width))
-    return (sim[:, None] >> shifts[None, :]) & mask
 
 
 # Manku et al. (WWW'07) style block-combination keys: 64 bits split into 6

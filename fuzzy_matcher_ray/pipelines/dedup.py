@@ -26,7 +26,8 @@ from fuzzy_matcher_ray.config import PipelineConfig
 from fuzzy_matcher_ray.stages.candidates import dedup_pairs, key_pairs
 from fuzzy_matcher_ray.stages.cluster import cluster_edges
 from fuzzy_matcher_ray.stages.joins import attach_columns
-from fuzzy_matcher_ray.stages.minhash_stage import MinHasher, SimHasher, Winnower, add_stage
+from fuzzy_matcher_ray.stages.minhash_stage import (
+    Signatures, Winnower, add_stage, band_key_rows, simhash_key_rows)
 from fuzzy_matcher_ray.stages.normalize_stage import normalized_docs
 from fuzzy_matcher_ray.stages.verify import (
     JaccardVerifier, SubstringVerifier, attach_pair_texts, simhash_pair_filter)
@@ -94,32 +95,52 @@ def exact_dup_edges(norm, cfg: PipelineConfig):
     return with_rep.map_batches(_edges, batch_format="pyarrow")
 
 
-def minhash_edges(norm, cfg: PipelineConfig, attacher=None):
+def signature_table(norm, cfg: PipelineConfig):
+    """One shingle pass → compact per-doc signatures (bands + simhash).
+
+    The MinHash and SimHash passes both explode THIS ~140 B/doc table for
+    their candidate keys; the corpus text is never re-hashed per pass
+    (round-1 verdict item 1: redundant shingle passes were the top
+    memory-bandwidth cost).
+    """
+    return add_stage(norm.select_columns(["doc_id", "fold_text", "tier"]),
+                     Signatures, cfg)
+
+
+def _verified_jaccard(pairs, norm, cfg: PipelineConfig, attacher,
+                      threshold: float | None = None):
+    """Exact-Jaccard verification: pairs stay (a, b)-slim when the shared
+    text broadcast exists; otherwise texts are attached by hash join."""
+    if attacher is not None:
+        ver = JaccardVerifier(cfg, threshold, text_ref=attacher.ref)
+        src = pairs
+    else:
+        ver = JaccardVerifier(cfg, threshold)
+        src = attach_pair_texts(pairs, norm.select_columns(["doc_id", "norm_text"]),
+                                cfg)
+    return src.map_batches(ver, batch_format="pyarrow",
+                           batch_size=cfg.verify_batch_size)
+
+
+def minhash_edges(norm, cfg: PipelineConfig, attacher=None, sigs=None):
     """MinHash/LSH pass → exact-Jaccard-verified edges (a, b, jaccard)."""
-    band_rows = add_stage(norm.select_columns(["doc_id", "fold_text", "tier"]),
-                          MinHasher, cfg)
-    pairs = key_pairs(band_rows, ["band", "band_hash"], cfg)
-    with_texts = attach_pair_texts(pairs, norm.select_columns(["doc_id", "norm_text"]),
-                                   cfg, attacher=attacher)
-    return with_texts.map_batches(JaccardVerifier(cfg), batch_format="pyarrow",
-                                  batch_size=cfg.batch_size)
+    if sigs is None:
+        sigs = signature_table(norm, cfg)
+    pairs = key_pairs(band_key_rows(sigs, cfg), ["band", "band_hash"], cfg)
+    return _verified_jaccard(pairs, norm, cfg, attacher)
 
 
-def simhash_edges(norm, cfg: PipelineConfig, attacher=None):
+def simhash_edges(norm, cfg: PipelineConfig, attacher=None, sigs=None):
     """SimHash block pass: Hamming ≤ d candidates, then exact-Jaccard verify
     at a relaxed threshold (backstop for near-threshold MinHash misses)."""
-    rows = add_stage(norm.select_columns(["doc_id", "fold_text", "tier"]),
-                     SimHasher, cfg)
-    pairs = key_pairs(rows, ["block", "block_val"], cfg,
+    if sigs is None:
+        sigs = signature_table(norm, cfg)
+    pairs = key_pairs(simhash_key_rows(sigs, cfg), ["block", "block_val"], cfg,
                       carry_cols=["simhash"],
                       pair_filter=simhash_pair_filter(cfg.simhash_hamming_max))
     pairs = _edges_only(pairs)
-    with_texts = attach_pair_texts(pairs, norm.select_columns(["doc_id", "norm_text"]),
-                                   cfg, attacher=attacher)
     relaxed = max(0.5, cfg.jaccard_threshold - 0.1)
-    return with_texts.map_batches(JaccardVerifier(cfg, relaxed),
-                                  batch_format="pyarrow",
-                                  batch_size=cfg.batch_size)
+    return _verified_jaccard(pairs, norm, cfg, attacher, relaxed)
 
 
 def _exclude_known_pairs(pairs, known_edges, broadcast_max: int = 20_000_000):
@@ -171,16 +192,35 @@ def substring_edges(norm, cfg: PipelineConfig, attacher=None, exclude_edges=None
     """
     rows = add_stage(norm.select_columns(["doc_id", "norm_text", "tier"]),
                      Winnower, cfg)
-    pairs = key_pairs(rows.select_columns(["fp", "doc_id"]), ["fp"], cfg)
+
+    def _pack_pp(t: pa.Table) -> pa.Array:
+        # pack the shared-fingerprint seed positions (21 bits each) so ONE
+        # consistent (pos_a, pos_b) tuple survives the per-pair Min dedup;
+        # out-of-range positions (docs > 2M chars) become null → verifier
+        # falls back to the probe-gram intersection path
+        pa_ = t["pos_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pb_ = t["pos_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (pa_ >= 0) & (pb_ >= 0) & (pa_ < (1 << 21)) & (pb_ < (1 << 21))
+        packed = (pa_ << 21) | pb_
+        arr = pa.array(packed)
+        if not ok.all():
+            arr = pc.if_else(pa.array(ok), arr, pa.scalar(None, pa.int64()))
+        return arr
+
+    pairs = key_pairs(rows.select_columns(["fp", "doc_id", "pos"]), ["fp"], cfg,
+                      carry_cols=["pos"], derive={"pp": _pack_pp})
     if exclude_edges is not None:
         # pairs already confirmed by the exact/MinHash/SimHash passes are
         # edges regardless of this pass's verdict — skip their (expensive)
         # substring verification entirely. Union-find makes the outcome
         # identical; only wasted work is removed.
         pairs = _exclude_known_pairs(pairs, exclude_edges)
+    if attacher is not None:
+        return pairs.map_batches(SubstringVerifier(cfg, text_ref=attacher.ref),
+                                 batch_format="pyarrow", batch_size=4096)
     with_texts = attach_pair_texts(pairs,
                                    norm.select_columns(["doc_id", "norm_text"]),
-                                   cfg, attacher=attacher)
+                                   cfg)
     return with_texts.map_batches(SubstringVerifier(cfg),
                                   batch_format="pyarrow", batch_size=4096)
 
@@ -215,21 +255,33 @@ def find_duplicates(docs, cfg: PipelineConfig | None = None,
     attacher = None
     if norm.count() <= BROADCAST_MAX_ROWS:
         attacher = BroadcastAttacher(norm, "doc_id", ["norm_text"])
+    # ONE signature stage (single shingle pass) feeds both LSH passes
+    sigs = None
+    if "minhash" in passes or "simhash" in passes:
+        sigs = ck.stage("signatures", lambda: signature_table(norm, cfg))
     builders = {
         "exact": lambda: exact_dup_edges(norm, cfg),
-        "minhash": lambda: _edges_only(minhash_edges(norm, cfg, attacher=attacher)),
-        "simhash": lambda: _edges_only(simhash_edges(norm, cfg, attacher=attacher)),
+        "minhash": lambda: _edges_only(
+            minhash_edges(norm, cfg, attacher=attacher, sigs=sigs)),
+        "simhash": lambda: _edges_only(
+            simhash_edges(norm, cfg, attacher=attacher, sigs=sigs)),
         "substring": lambda: _edges_only(
             substring_edges(norm, cfg, attacher=attacher)),
     }
-    # the four passes are independent until the edge union — build and
-    # materialize them on parallel driver threads so their internal barriers
-    # (counts, sorts, collects) overlap instead of serializing end-to-end
+    # the four passes are independent until the edge union — build them on
+    # parallel driver threads so their internal barriers (counts, sorts,
+    # collects) overlap instead of serializing end-to-end. With checkpointing
+    # disabled the per-pass edge datasets stay LAZY: the verify stages of all
+    # passes then execute inside ONE streaming execution at the edges_all
+    # fan-in (each separate Dataset execution costs ~0.5-1 s of fixed
+    # scheduling overhead — the Amdahl term that caps small-corpus scaling).
     from concurrent.futures import ThreadPoolExecutor
     wanted = [p for p in ("exact", "minhash", "simhash", "substring")
               if p in passes]
     with ThreadPoolExecutor(max_workers=len(wanted)) as pool:
-        futs = {p: pool.submit(lambda p=p: ck.stage(f"edges_{p}", builders[p]))
+        futs = {p: pool.submit(
+            lambda p=p: ck.stage(f"edges_{p}", builders[p],
+                                 materialize_if_disabled=False))
                 for p in wanted}
         edge_sets = [futs[p].result() for p in wanted]
     edges = edge_sets[0]

@@ -36,9 +36,12 @@ from fuzzy_matcher_ray.functions.shingle import splitmix64
 BROADCAST_KEYS_MAX = 20_000_000
 
 # duplicate-key row sets below this collect to the driver for the vectorized
-# segment explode; beyond it the sort-based distributed explode runs. Driver
-# work is serial — keep this low so big jobs scale with CPUs.
-DRIVER_EXPLODE_MAX_ROWS = 300_000
+# segment explode; beyond it the sort-based distributed explode runs. Slim
+# key rows are ~24-32 B ⇒ 2M rows ≈ 64 MB driver RAM and a ~0.5 s serial
+# lexsort+explode — measured far below the distributed path's fixed
+# shuffle/barrier cost at this size; real 100 TB shards exceed the threshold
+# and take the distributed path.
+DRIVER_EXPLODE_MAX_ROWS = 2_000_000
 
 
 def _segment_explode(gk: np.ndarray, ids: np.ndarray, carries: dict,
@@ -225,7 +228,7 @@ def _driver_key_pairs(tbl: pa.Table, key_cols, cfg, carry_cols, pair_filter,
     out = pa.concat_tables(parts).combine_chunks()
     if dedup:
         out = _numpy_dedup_pairs(out, list(derive))
-    chunk = 1 << 15
+    chunk = 4096   # small blocks: downstream verify parallelism & batch dedup
     slices = [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)]
     return rd.from_arrow(slices)
 
@@ -303,7 +306,7 @@ def _driver_explode(dup_rows, key_cols, carry_cols, pair_filter, derive, cfg):
     out = _finish_pairs(pa.table(cols), carry_cols, pair_filter, derive)
     # return MANY blocks — a single from_arrow block would serialize every
     # downstream stage (verify, lookups) onto one core
-    chunk = 1 << 15
+    chunk = 4096   # small blocks: downstream verify parallelism & batch dedup
     slices = [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)]
     return rd.from_arrow(slices)
 

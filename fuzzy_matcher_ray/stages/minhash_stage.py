@@ -28,71 +28,91 @@ def _fuzzy_subset(batch: pa.Table) -> pa.Table:
     return batch.filter(pc.equal(batch["tier"], TIER_FUZZY))
 
 
-class MinHasher:
-    """(doc_id, fold_text, tier) → band rows (band:int8, band_hash:uint64, doc_id).
+class Signatures:
+    """(doc_id, fold_text, tier) → ONE compact signature row per fuzzy-tier
+    doc: (doc_id, bands: fixed_size_list<int64>[b], simhash: int64).
 
-    16 rows per fuzzy-tier doc (b=16). Exact-only docs emit nothing — they are
-    handled by the content-hash pre-pass (≙ short-name exact tier,
+    The single shingle pass of the pipeline (round-1 verdict item 1): MinHash
+    band hashes and the SimHash are both derived from the same rolling-hash
+    shingle array, so the corpus text is hashed ONCE instead of once per
+    pass. Downstream, `band_key_rows` / `simhash_key_rows` explode this
+    ~140 B/doc table — never the text. Exact-only docs emit nothing — they
+    are handled by the content-hash pre-pass (≙ short-name exact tier,
     example_source.go:28-39).
     """
 
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.a, self.b = perm_params(cfg.num_perms, cfg.seed)   # once per actor
-        self.band_ids = np.arange(cfg.bands, dtype=np.int8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         batch = _fuzzy_subset(batch)
         n = len(batch)
         if n == 0:
-            return pa.table({"band": pa.array([], pa.int8()),
-                             "band_hash": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64())})
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "bands": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.int64()), cfg.bands),
+                "simhash": pa.array([], pa.int64())})
         hashes, counts = shingle_batch(batch["fold_text"], cfg.shingle_k, cfg.seed)
         sig = minhash_signatures(hashes, counts, self.a, self.b)
         bh = band_hashes(sig, cfg.bands, cfg.rows_per_band)      # (n, bands)
-        doc_ids = batch["doc_id"].to_numpy()
+        sim = simhash_batch(hashes, counts)
         return pa.table({
-            "band": pa.array(np.tile(self.band_ids, n)),
-            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
-            "doc_id": pa.array(np.repeat(doc_ids, cfg.bands)),
+            "doc_id": batch["doc_id"],
+            "bands": pa.FixedSizeListArray.from_arrays(
+                pa.array(bh.reshape(-1).view(np.int64)), cfg.bands),
+            "simhash": pa.array(sim.view(np.int64)),
         })
 
 
-class SimHasher:
-    """(doc_id, fold_text, tier) → combination-key rows
+def band_key_rows(sigs, cfg: PipelineConfig):
+    """Signature rows → LSH band key rows (band:int8, band_hash:int64, doc_id).
+
+    Pure reshape of the compact signature table (no text, no hashing).
+    Handles both fixed_size_list (in-memory) and list (parquet round-trip).
+    """
+    import pyarrow.compute as pc
+    band_ids = np.arange(cfg.bands, dtype=np.int8)
+
+    def _f(t: pa.Table) -> pa.Table:
+        n = len(t)
+        flat = pc.list_flatten(t["bands"]).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "band": pa.array(np.tile(band_ids, n)),
+            "band_hash": pa.array(flat),
+            "doc_id": pa.array(np.repeat(
+                t["doc_id"].to_numpy(zero_copy_only=False), cfg.bands)),
+        })
+
+    return sigs.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_key_rows(sigs, cfg: PipelineConfig):
+    """Signature rows → Manku combination-key rows
     (block:int8, block_val:int64, simhash:int64, doc_id).
 
-    Manku-style 6-piece / choose-3 combination keys (20 per doc, ~32 bits
-    each): pigeonhole-complete for Hamming distance <= 3 with ~2^16x fewer
-    random key collisions than 16-bit block keys — the backstop pass for
-    near-threshold misses of the MinHash S-curve.
+    6-piece / choose-3 combination keys (20 per doc, ~32 bits each):
+    pigeonhole-complete for Hamming distance <= 3 with ~2^16x fewer random
+    key collisions than 16-bit block keys — the backstop pass for
+    near-threshold misses of the MinHash S-curve. Derived from the 64-bit
+    simhash column only — no text access.
     """
 
-    def __init__(self, cfg: PipelineConfig):
-        self.cfg = cfg
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        batch = _fuzzy_subset(batch)
-        n = len(batch)
-        if n == 0:
-            return pa.table({"block": pa.array([], pa.int8()),
-                             "block_val": pa.array([], pa.int64()),
-                             "simhash": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64())})
-        hashes, counts = shingle_batch(batch["fold_text"], cfg.shingle_k, cfg.seed)
-        sim = simhash_batch(hashes, counts)
+    def _f(t: pa.Table) -> pa.Table:
+        sim = t["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         keys, n_combos = simhash_combo_keys(sim)                 # (n, 20)
-        doc_ids = batch["doc_id"].to_numpy()
         combo_ids = np.arange(n_combos, dtype=np.int8)
         return pa.table({
-            "block": pa.array(np.tile(combo_ids, n)),
+            "block": pa.array(np.tile(combo_ids, len(t))),
             "block_val": pa.array(keys.reshape(-1).view(np.int64)),
             "simhash": pa.array(np.repeat(sim, n_combos).view(np.int64)),
-            "doc_id": pa.array(np.repeat(doc_ids, n_combos)),
+            "doc_id": pa.array(np.repeat(
+                t["doc_id"].to_numpy(zero_copy_only=False), n_combos)),
         })
+
+    return sigs.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 class Winnower:

@@ -14,7 +14,8 @@ from fuzzy_matcher_ray.stages import candidates as C
 @pytest.fixture()
 def band_rows(ray_session):
     import ray.data as rd
-    from fuzzy_matcher_ray.stages.minhash_stage import MinHasher, add_stage
+    from fuzzy_matcher_ray.stages.minhash_stage import (
+        Signatures, add_stage, band_key_rows)
     from fuzzy_matcher_ray.stages.normalize_stage import normalized_docs
     cfg = PipelineConfig()
     pages, _ = make_webpages(800, seed=13)
@@ -22,8 +23,9 @@ def band_rows(ray_session):
         "doc_id": pa.array(range(len(pages)), pa.int64()),
         "url": pages["url"], "text": pages["text"], "lang": pages["lang"]}))
     norm = normalized_docs(docs, cfg).repartition(4).materialize()
-    return add_stage(norm.select_columns(["doc_id", "fold_text", "tier"]),
-                     MinHasher, cfg).materialize()
+    sigs = add_stage(norm.select_columns(["doc_id", "fold_text", "tier"]),
+                     Signatures, cfg)
+    return band_key_rows(sigs, cfg).materialize()
 
 
 def _pairs_set(ds):
