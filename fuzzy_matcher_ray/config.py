@@ -37,11 +37,15 @@ class PipelineConfig:
     ocr_fold: bool = True           # fold OCR confusables before hashing
     # --- candidate generation skew handling ---
     max_band_group: int = 64        # groups larger than this emit star+chain
-    # edges instead of all-pairs (connectivity-preserving skew cap)
-    salt_buckets: int = 8           # salt fan-out for giant groups
+    # edges instead of all-pairs (connectivity-preserving skew cap; the
+    # recall trade-off is gated by the planted hot-band test in
+    # tests/test_dedup_e2e.py: same-family docs in a hot group stay
+    # connected through the star root or their own non-boilerplate bands)
     # --- substring dedup ---
-    substr_window: int = 120        # fingerprint window (chars, normalized)
-    substr_winnow: int = 80         # winnowing: min of each 80-hash window
+    substr_window: int = 128        # fingerprint window (chars, normalized);
+    # power of two ⇒ the rolling hash is pure window doubling on two
+    # ping-pong scratch buffers (no per-level temporaries)
+    substr_winnow: int = 72         # winnowing: min of each 72-hash window
     # detection guarantee: shared substrings >= window + winnow - 1 (=199)
     # chars always produce a shared fingerprint; substr_min_len=200 > 199.
     # (larger windows ⇒ near-dup pairs with only ~150-char runs rarely share
@@ -105,6 +109,12 @@ class EntityMatchConfig:
     min_score: float = 0.0
     gram_k: int = 2                 # blocking n-gram size (candidate generation)
     ocr_fold: bool = True
+    # verify-time single-char OCR confusable substitution cost (recurse.go:7-32
+    # pairs). 1.0 = reference parity (an OCR swap costs one ordinary edit,
+    # EditCount++ in ProcessNode); < 1.0 forgives confusable swaps in both the
+    # edit budget and levenshtein-method similarity, pairwise per aligned
+    # position (no transitive alphabet collapse).
+    ocr_confusable_cost: float = 1.0
     # short-field exact-only tier ≙ example_source.go:28-39:
     # avg(len(first), len(sur)) <= 3.5 ⇒ exact-only
     short_avg_len: float = 3.5

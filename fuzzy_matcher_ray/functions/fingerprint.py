@@ -52,9 +52,31 @@ def content_hash(texts: pa.Array | pa.ChunkedArray, seed: int = 0) -> np.ndarray
     return splitmix64(sums ^ (lens * _K2))
 
 
+# windows-per-chunk for _sliding_argmin: bounds the two-block temporaries to
+# ~2 MB each so they stay heap-resident and cache-warm instead of thrashing
+# fresh multi-MB mmaps per batch (the concurrent first-touch fault storm
+# that collapsed aggregate winnow throughput at high task counts)
+_ARGMIN_CHUNK = 1 << 18
+
+
 def _sliding_argmin(h: np.ndarray, w: int) -> np.ndarray:
     """Global index of the (leftmost) minimum of every length-``w`` sliding
-    window over ``h`` — O(n) via the two-block prefix/suffix-min trick
+    window over ``h`` — O(n), chunked; see ``_sliding_argmin_block``."""
+    n = h.size
+    m = n - w + 1
+    if m <= _ARGMIN_CHUNK:
+        return _sliding_argmin_block(h, w)
+    out = np.empty(m, dtype=np.int64)
+    for c0 in range(0, m, _ARGMIN_CHUNK):
+        c1 = min(c0 + _ARGMIN_CHUNK, m)
+        seg = h[c0: c1 + w - 1]            # covers window starts c0..c1-1
+        out[c0:c1] = _sliding_argmin_block(seg, w)
+        out[c0:c1] += c0
+    return out
+
+
+def _sliding_argmin_block(h: np.ndarray, w: int) -> np.ndarray:
+    """One chunk of the two-block prefix/suffix-min sliding argmin
     (each window spans at most two w-aligned blocks; its min is
     min(suffix-min of the left block from the window start, prefix-min of
     the right block up to the window end)). ~w/4 times faster than the

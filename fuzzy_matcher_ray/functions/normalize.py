@@ -45,6 +45,35 @@ DIGIT_FOLDS: tuple[tuple[str, str], ...] = (
 
 _DIGIT_TABLE = str.maketrans({a: b for a, b in DIGIT_FOLDS})
 
+# Full single-char OCR misread table (recurse.go:7-32), lowercased. Too
+# transitively connected to FOLD (a closure-fold would collapse most of the
+# alphabet), but safe as a *verify-time substitution-cost discount*: an edit
+# between confusable chars may cost less than a full edit without any
+# transitive collapse, because costs apply pairwise per aligned position.
+OCR_MISREADS: dict[str, str] = {
+    "0": "odq", "1": "li", "2": "zs", "3": "e8b", "4": "ah", "5": "s",
+    "6": "bgg", "7": "ty", "8": "b3b", "9": "gq", "o": "0a", "i": "1l",
+    "l": "1i", "b": "836", "g": "69", "z": "2", "c": "eo", "s": "5",
+    "n": "mr", "a": "o", "e": "c", "r": "n", "v": "u", "u": "v",
+}
+
+_CONF_TABLE: "object" = None
+
+
+def confusable_table():
+    """(128, 128) bool numpy table: [ord(a), ord(b)] ⇒ a↔b is an OCR
+    confusable pair (symmetric closure of OCR_MISREADS). Cached."""
+    global _CONF_TABLE
+    if _CONF_TABLE is None:
+        import numpy as np
+        t = np.zeros((128, 128), dtype=bool)
+        for a, bs in OCR_MISREADS.items():
+            for b in bs:
+                t[ord(a), ord(b)] = True
+                t[ord(b), ord(a)] = True
+        _CONF_TABLE = t
+    return _CONF_TABLE
+
 
 def normalize_text(s: str) -> str:
     """Scalar reference implementation (normalize.go:9-15 semantics)."""

@@ -46,12 +46,43 @@ def splitmix64_inplace(x: np.ndarray, scratch: np.ndarray | None = None) -> np.n
     return x
 
 
+# Per-process scratch buffers, keyed by role. Hash stages are
+# memory-bandwidth-bound; reusing heap buffers instead of fresh multi-MB
+# mmaps per batch removes the concurrent first-touch fault storm that
+# collapses aggregate throughput when many tasks share one memory bus.
+_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch_buf(key: str, n: int, dtype=np.uint64) -> np.ndarray:
+    buf = _SCRATCH.get(key)
+    if buf is None or buf.size < n or buf.dtype != dtype:
+        buf = np.empty(max(n, 1), dtype)
+        _SCRATCH[key] = buf
+    return buf[:n]
+
+
 def _poly_hash_doubling(data: np.ndarray, k: int, m: int) -> np.ndarray:
     """H_k[0:m] where H_k[i] = Σ data[i+j]·P^(k-1-j) (uint64 wraparound),
     via window doubling: H_{2w}[i] = H_w[i]·P^w + H_w[i+w], then one combine
     per set bit of k. Only O(log k) full passes over the buffer.
+
+    Power-of-two k runs entirely on two reused ping-pong scratch buffers
+    (no saved levels, no per-level allocation).
     """
     n = data.size
+    if k & (k - 1) == 0 and k > 1:
+        cur = _scratch_buf("poly_a", n)
+        np.copyto(cur, data, casting="unsafe")
+        nxt = _scratch_buf("poly_b", n)
+        w = 1
+        while w < k:
+            nxt_len = n - 2 * w + 1
+            dst = nxt[:nxt_len]
+            np.multiply(cur[:nxt_len], np.uint64(pow(int(_P), w, 1 << 64)), out=dst)
+            np.add(dst, cur[w: w + nxt_len], out=dst)
+            cur, nxt = nxt, cur
+            w *= 2
+        return cur[:m]
     # split k into descending powers of two
     bits = [t for t in range(k.bit_length()) if k >> t & 1]
     # build H_{2^t} for all needed t, keeping each level (they're reused in
@@ -134,9 +165,10 @@ def shingle_batch(texts: pa.Array | pa.ChunkedArray, k: int,
     # and per-pass multi-MB temporaries (the naive `raw * P + d64[j:j+m]`)
     # double the bus traffic and thrash the allocator under concurrency.
     m = data.size - k + 1
-    scratch = np.empty(m, dtype=np.uint64)
+    scratch = _scratch_buf("sm_scratch", m)
     if k <= 8:
-        raw = np.zeros(m, dtype=np.uint64)
+        raw = _scratch_buf("poly_a", m)
+        raw[:] = 0
         for j in range(k):              # uint64 wraparound is intended
             np.multiply(raw, _P, out=raw)
             np.add(raw, data[j: j + m], out=raw, casting="unsafe")

@@ -4,13 +4,26 @@ thresholds and per-query top-k.
 
 Parity map (vs ``/root/reference``):
 - normalize per field            ← normalize.go:9-15
-- OCR confusable folding (blocking keys only) ← recurse.go:7-41 tables
-- short-record exact-only tier   ← example_source.go:28-39 (avg len <= 3.5)
+- OCR confusable folding (fuzzy keys + verify) ← recurse.go:7-41 tables
+- verify-time confusable substitution discount ← recurse.go single-char
+  swaps (candidate search counts a swap as one ordinary edit; set
+  ``ocr_confusable_cost < 1`` to forgive them further — applied pairwise per
+  aligned position, so no transitive alphabet collapse)
+- short-record exact-only tier   ← example_source.go:28-39 (avg len <= 3.5);
+  enforced at BOTH key emission and verification (an exact-tier record never
+  fuzzy-matches, whichever side of the join it is on)
+- per-record dynamic parameters  ← GetSearchParameters
+  (example_source.go:20-81): an optional per-row ``max_edits`` column on the
+  query table caps that row's edit budget; 0 ⇒ exact-only tier for the row
 - candidate generation           ← trie Recurse/BFS (recurse.go:67-175) —
-  here: character-n-gram blocking keys per (field, gram); fuzzy-tier records
-  emit grams, exact-tier/exact-method fields emit the full value only
+  here: hashed character-n-gram blocking keys per (field, gram); fuzzy-tier
+  records emit gram hashes, exact-tier/exact-method fields emit the
+  whole-value hash only (same Horner hash ⇒ a value of length == gram_k
+  meets matching grams; the tier rule in the verifier rejects non-identical
+  short-record matches, example_source.go exact-only rule)
 - per-field verification         ← CalculateSimilarity dispatch
   (distance.go:19-38) + MinDistances reject (fuzzy_matcher_core.go:249-252)
+- per-field edit cap             ← per-field MaxEdits bound on the trie walk
 - missing required field reject  ← fuzzy_matcher_core.go:230-234
 - weighted sum                   ← fuzzy_matcher_core.go:262-267
 - global edit budget             ← CleanMatches (clean.go:54-90)
@@ -18,10 +31,11 @@ Parity map (vs ``/root/reference``):
 - TTL filter / tombstones        ← clean.go:29-51 / clean.go:93-134 as
   read-time predicates (state/tombstones.py)
 
-Scale shape: both sides are Datasets; blocking is a hash join on
-(field, gram) keys; verification is a batched kernel over candidate pairs
-with field values attached by broadcast lookup (index side small) or hash
-join (both sides large).
+Scale shape: both sides are Datasets; blocking is a hash join on slim
+(field int32, gram int64-hash) key rows; verification is a fully batched
+numpy kernel over candidate pairs (similarity.py batched JW/Levenshtein —
+no per-row Python in any hot stage); field values attach by broadcast
+lookup (small index) or hash join (both sides large).
 """
 
 from __future__ import annotations
@@ -32,31 +46,102 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from fuzzy_matcher_ray.config import EntityMatchConfig, FieldParams
-from fuzzy_matcher_ray.functions.normalize import fold_confusables, normalize_text
-from fuzzy_matcher_ray.functions.similarity import levenshtein, similarity
-from fuzzy_matcher_ray.stages.joins import JOIN_AGG_ARGS, attach_columns, effective_partitions
+from fuzzy_matcher_ray.config import EntityMatchConfig
+from fuzzy_matcher_ray.functions.normalize import (
+    confusable_table, fold_array, normalize_array)
+from fuzzy_matcher_ray.functions.similarity import (
+    _jw_padded, _lev_padded, pad_utf32)
+from fuzzy_matcher_ray.stages.joins import (
+    JOIN_AGG_ARGS, attach_columns, effective_partitions)
+
+_HASH_P = np.uint64(1099511628211)     # FNV-1a prime, Horner base
+_HASH_PAD = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _grams(s: str, k: int) -> set[str]:
-    if len(s) < k:
-        return {s} if s else set()
-    return {s[i:i + k] for i in range(len(s) - k + 1)}
+def _horner_full(mat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Whole-string Horner hash over padded codepoint rows (uint64 wrap)."""
+    n = mat.shape[0]
+    h = np.zeros(n, dtype=np.uint64)
+    for t in range(mat.shape[1]):
+        active = t < lens
+        if not active.any():
+            break
+        h[active] = h[active] * _HASH_P + mat[active, t].astype(np.uint64)
+    return h
 
 
-def _is_exact_tier(fields: dict[str, str], cfg: EntityMatchConfig) -> bool:
-    """Short-record rule: avg(len(firstname), len(surname)) <= threshold ⇒
-    exact-only (example_source.go:28-39). Falls back to all-field average
-    when those fields are absent."""
-    probe = [f for f in ("firstname", "surname") if f in fields]
+def _window_hashes(mat: np.ndarray, lens: np.ndarray, k: int
+                   ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row k-gram Horner hashes: (n, W) uint64 + validity mask.
+
+    Rows with 0 < len < k get their whole-string hash in column 0 (same
+    Horner scheme, so it equals the other side's whole-value key for the
+    same short string).
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+    n, L = mat.shape
+    if L < k:
+        mat = np.concatenate([mat, np.zeros((n, k - L), dtype=mat.dtype)], axis=1)
+        L = k
+    win = sliding_window_view(mat, k, axis=1)          # (n, W, k) view
+    W = win.shape[1]
+    h = np.zeros((n, W), dtype=np.uint64)
+    for t in range(k):
+        h = h * _HASH_P + win[:, :, t].astype(np.uint64)
+    valid = np.arange(W)[None, :] < np.maximum(lens - k + 1, 0)[:, None]
+    short = (lens > 0) & (lens < k)
+    if short.any():
+        h[short, 0] = _horner_full(mat[short], lens[short])
+        valid[short, 0] = True
+    return h, valid
+
+
+def _normalized_fields(batch: pa.Table, cfg: EntityMatchConfig) -> dict:
+    out = {}
+    for f in cfg.fields:
+        if f in batch.schema.names:
+            col = batch[f]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out[f] = normalize_array(pc.fill_null(col, ""))
+    return out
+
+
+def _exact_tier_np(norm: dict, cfg: EntityMatchConfig, n: int) -> np.ndarray:
+    """Vectorized short-record rule (example_source.go:28-39):
+    avg(len(firstname), len(surname)) <= threshold ⇒ exact-only tier.
+    Falls back to the average over all fields when those are absent."""
+    probe = [f for f in ("firstname", "surname") if f in norm]
     if not probe:
-        probe = list(fields)
-    lens = [len(fields[f] or "") for f in probe]
-    return (sum(lens) / max(len(lens), 1)) <= cfg.short_avg_len
+        probe = list(norm)
+    if not probe:
+        return np.zeros(n, dtype=bool)
+    total = np.zeros(n, dtype=np.float64)
+    for f in probe:
+        total += pc.utf8_length(norm[f]).to_numpy(zero_copy_only=False)
+    return (total / len(probe)) <= cfg.short_avg_len
+
+
+def _row_max_edits(batch: pa.Table, col: str, n: int) -> np.ndarray | None:
+    """Per-record dynamic edit budget (≙ GetSearchParameters MaxEdits)."""
+    if col not in batch.schema.names:
+        return None
+    v = batch[col]
+    if isinstance(v, pa.ChunkedArray):
+        v = v.combine_chunks()
+    out = pc.fill_null(v, 2 ** 31).to_numpy(zero_copy_only=False)
+    return out.astype(np.int64)
+
+
+_KEY_SCHEMA = pa.schema([("rec_id", pa.int64()), ("field", pa.int32()),
+                         ("gram", pa.int64())])
 
 
 class _KeyEmitter:
-    """Record rows → blocking key rows (field, gram, rec_id)."""
+    """Record rows → hashed blocking-key rows (rec_id, field, gram).
+
+    Fully vectorized: Arrow normalize/fold, numpy sliding-window Horner
+    hashes, per-row gram dedup via a row sort — zero per-row Python."""
 
     def __init__(self, cfg: EntityMatchConfig, id_col: str):
         self.cfg = cfg
@@ -64,100 +149,158 @@ class _KeyEmitter:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        ids_out, fields_out, grams_out = [], [], []
-        ids = batch[self.id_col].to_pylist()
-        field_vals = {f: batch[f].to_pylist() for f in cfg.fields
-                      if f in batch.schema.names}
-        for i, rid in enumerate(ids):
-            vals = {f: normalize_text(v[i] or "") for f, v in field_vals.items()}
-            exact_tier = _is_exact_tier(vals, cfg)
-            for f, params in cfg.fields.items():
-                s = vals.get(f, "")
-                if not s:
-                    continue
-                # OCR folding only where edits are allowed — exact fields
+        n = len(batch)
+        if n == 0:
+            return _KEY_SCHEMA.empty_table()
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        norm = _normalized_fields(batch, cfg)
+        tier = _exact_tier_np(norm, cfg, n)
+        me = _row_max_edits(batch, "max_edits", n)
+        if me is not None:
+            tier = tier | (me == 0)
+        ids_parts, field_parts, gram_parts = [], [], []
+        for fi, (f, params) in enumerate(cfg.fields.items()):
+            if f not in norm:
+                continue
+            arr = norm[f]
+            lens = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(np.int64)
+            nonempty = lens > 0
+            fuzzy = nonempty & ~tier & (params.max_edits > 0)
+            exact = nonempty & ~fuzzy
+            if exact.any():
+                # whole-value key on the raw normalized value — exact fields
                 # never take OCR branches (editable-fields mask,
-                # fuzzy_matcher_core.go:129-140; 6→b / 8→b would otherwise
-                # alias distinct exact keys like birthdates)
-                fuzzy = not exact_tier and params.max_edits > 0
-                folded = fold_confusables(s) if (cfg.ocr_fold and fuzzy) else s
-                if not fuzzy:
-                    keys = {folded}            # exact blocking only
-                else:
-                    keys = _grams(folded, cfg.gram_k)
-                for g in keys:
-                    ids_out.append(rid)
-                    fields_out.append(f)
-                    grams_out.append(g)
+                # fuzzy_matcher_core.go:129-140)
+                mat, ls = pad_utf32(arr.filter(pa.array(exact)).to_pylist())
+                ids_parts.append(ids[exact])
+                field_parts.append(np.full(int(exact.sum()), fi, np.int32))
+                gram_parts.append(_horner_full(mat, ls))
+            if fuzzy.any():
+                src = arr.filter(pa.array(fuzzy))
+                if cfg.ocr_fold:
+                    src = fold_array(src)
+                mat, ls = pad_utf32(src.to_pylist())
+                h, valid = _window_hashes(mat, ls, cfg.gram_k)
+                hs = np.sort(np.where(valid, h, _HASH_PAD), axis=1)
+                keep = hs != _HASH_PAD
+                keep[:, 1:] &= hs[:, 1:] != hs[:, :-1]   # row-local dedup
+                cnt = keep.sum(axis=1)
+                ids_parts.append(np.repeat(ids[fuzzy], cnt))
+                field_parts.append(np.full(int(cnt.sum()), fi, np.int32))
+                gram_parts.append(hs[keep])
+        if not ids_parts:
+            return _KEY_SCHEMA.empty_table()
         return pa.table({
-            "rec_id": pa.array(ids_out, pa.int64()),
-            "field": pa.array(fields_out, pa.string()),
-            "gram": pa.array(grams_out, pa.string()),
+            "rec_id": pa.array(np.concatenate(ids_parts), pa.int64()),
+            "field": pa.array(np.concatenate(field_parts), pa.int32()),
+            "gram": pa.array(np.concatenate(gram_parts).view(np.int64), pa.int64()),
         })
 
 
 class _Verifier:
-    """(query_id, rec_id, q_<field>…, i_<field>…) → scored matches.
-
-    Vectorized over the batch; per-field string kernels on short fields.
-    """
+    """(query_id, rec_id, q_<field>…, i_<field>… [, q_max_edits]) → scored
+    matches. Fully batched: Arrow normalize/fold + numpy JW/Levenshtein
+    kernels over the pair axis; no per-row Python."""
 
     def __init__(self, cfg: EntityMatchConfig):
         self.cfg = cfg
+        self.conf = confusable_table() if (
+            cfg.ocr_fold and cfg.ocr_confusable_cost < 1.0) else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
         n = len(batch)
-        qcols = {f: batch[f"q_{f}"].to_pylist() for f in cfg.fields}
-        icols = {f: batch[f"i_{f}"].to_pylist() for f in cfg.fields}
+        if n == 0:
+            return self._empty()
+        qn = {f: normalize_array(pc.fill_null(_chunked(batch[f"q_{f}"]), ""))
+              for f in cfg.fields if f"q_{f}" in batch.schema.names}
+        vn = {f: normalize_array(pc.fill_null(_chunked(batch[f"i_{f}"]), ""))
+              for f in cfg.fields if f"i_{f}" in batch.schema.names}
+        q_tier = _exact_tier_np(qn, cfg, n)
+        i_tier = _exact_tier_np(vn, cfg, n)
+        budget = np.full(n, float(cfg.global_max_edits))
+        me = _row_max_edits(batch, "q_max_edits", n)
+        if me is not None:
+            q_tier = q_tier | (me == 0)
+            budget = np.minimum(budget, me)
+        # an exact-tier record never fuzzy-matches, whichever side it is on
+        # (short-record exact-only rule; reference rejects non-identical
+        # matches for short records)
+        tier_exact = q_tier | i_tier
         scores = np.zeros(n, dtype=np.float64)
-        edits = np.zeros(n, dtype=np.int64)
+        edits = np.zeros(n, dtype=np.float64)
         ok = np.ones(n, dtype=bool)
         for f, params in cfg.fields.items():
-            qs, is_ = qcols[f], icols[f]
-            for i in range(n):
-                if not ok[i]:
-                    continue
-                q = normalize_text(qs[i] or "")
-                v = normalize_text(is_[i] or "")
-                if not q or not v:
-                    if params.required:
-                        ok[i] = False      # missing required ⇒ reject
-                    continue
-                if params.method == "exact" or params.max_edits == 0:
-                    if q != v:
-                        ok[i] = False
-                        continue
-                    sim = 1.0
-                    ed = 0
-                else:
-                    if cfg.ocr_fold:
-                        # OCR-variant tolerance: score the folded forms so
-                        # confusable damage (srnith↔smith) doesn't burn the
-                        # similarity budget (≙ recurse.go OCR branches)
-                        q, v = fold_confusables(q), fold_confusables(v)
-                    sim = similarity(q, v, params.method)
-                    if sim < params.min_similarity:
-                        ok[i] = False      # below MinDistances ⇒ reject
-                        continue
-                    # prefix completion is trie *depth*, not edits
-                    # (BFS completion, breadth_first_search.go:25-101) —
-                    # "ben"→"benjamin" costs 0 toward the edit budget
-                    if q.startswith(v) or v.startswith(q):
-                        ed = 0
-                    else:
-                        ed = levenshtein(q, v)
-                scores[i] += params.weight * sim
-                edits[i] += ed
-        ok &= edits <= cfg.global_max_edits    # ≙ CleanMatches budget
+            q, v = qn.get(f), vn.get(f)
+            if q is None or v is None:
+                if params.required:
+                    ok[:] = False
+                continue
+            q_len = pc.utf8_length(q).to_numpy(zero_copy_only=False)
+            v_len = pc.utf8_length(v).to_numpy(zero_copy_only=False)
+            missing = (q_len == 0) | (v_len == 0)
+            if params.required:
+                ok &= ~missing           # missing required ⇒ reject
+            consider = ok & ~missing
+            eq = pc.equal(q, v).to_numpy(zero_copy_only=False).astype(bool)
+            exact_req = tier_exact | (params.method == "exact") | (params.max_edits == 0)
+            ok &= ~(consider & exact_req & ~eq)
+            scores[consider & exact_req & eq] += params.weight
+            fz = consider & ~exact_req
+            if not fz.any():
+                continue
+            sel = pa.array(fz)
+            qf, vf = q.filter(sel), v.filter(sel)
+            if cfg.ocr_fold:
+                # score the folded forms so confusable damage (srnith↔smith)
+                # doesn't burn the similarity budget (≙ recurse.go OCR
+                # branches finding the candidate within edit budget)
+                qf, vf = fold_array(qf), fold_array(vf)
+            A, la = pad_utf32(qf.to_pylist())
+            B, lb = pad_utf32(vf.to_pylist())
+            if params.method == "levenshtein":
+                d = _lev_padded(A, la, B, lb, self.conf, cfg.ocr_confusable_cost)
+                mx = np.maximum(la, lb).astype(np.float64)
+                sims = np.where(mx > 0, 1.0 - d / np.maximum(mx, 1), 1.0)
+            else:
+                sims = _jw_padded(A, la, B, lb)
+            # prefix completion is trie *depth*, not edits (BFS completion,
+            # breadth_first_search.go:25-101) — "ben"→"benjamin" costs 0
+            mn = np.minimum(la, lb)
+            run = np.ones(len(la), dtype=bool)
+            cp = np.zeros(len(la), dtype=np.int64)
+            for t_ in range(min(A.shape[1], B.shape[1])):
+                run &= (t_ < mn) & (A[:, t_] == B[:, t_])
+                cp += run
+            is_prefix = cp == mn
+            ed = np.where(is_prefix, 0.0,
+                          _lev_padded(A, la, B, lb, self.conf,
+                                      cfg.ocr_confusable_cost))
+            passed = (sims >= params.min_similarity) & (ed <= params.max_edits)
+            idx = np.nonzero(fz)[0]
+            ok[idx[~passed]] = False
+            scores[idx] += params.weight * sims
+            edits[idx] += ed
+        ok &= edits <= budget + 1e-9      # ≙ CleanMatches budget
         ok &= scores >= cfg.min_score
         keep = pa.array(ok)
         return pa.table({
-            "query_id": batch["query_id"].filter(keep),
-            "rec_id": batch["rec_id"].filter(keep),
+            "query_id": _chunked(batch["query_id"]).filter(keep),
+            "rec_id": _chunked(batch["rec_id"]).filter(keep),
             "score": pa.array(scores[ok]),
-            "total_edits": pa.array(edits[ok]),
+            "total_edits": pa.array(np.round(edits[ok]).astype(np.int64)),
         })
+
+    @staticmethod
+    def _empty() -> pa.Table:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "rec_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64()),
+                         "total_edits": pa.array([], pa.int64())})
+
+
+def _chunked(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
 def match_entities(index_ds, query_ds, cfg: EntityMatchConfig | None = None,
@@ -166,6 +309,9 @@ def match_entities(index_ds, query_ds, cfg: EntityMatchConfig | None = None,
 
     Returns (query_id, rec_id, score, rnk) — ≙ FuzzyMatch ranking
     (fuzzy_types/types.go:44-47 + sort/truncate fuzzy_matcher_core.go:281-287).
+    A ``max_edits`` int column on ``query_ds``, when present, sets a
+    per-record edit budget (0 ⇒ exact-only) — ≙ GetSearchParameters
+    (example_source.go:20-81).
     """
     cfg = cfg or EntityMatchConfig()
     fields = list(cfg.fields)
@@ -183,7 +329,7 @@ def match_entities(index_ds, query_ds, cfg: EntityMatchConfig | None = None,
                                   batch_format="pyarrow").materialize()
     if idx_keys.count() == 0 or q_keys.count() == 0:
         return empty      # joining an empty side breaks the shuffle schema
-    # blocking join: hash-partitioned on (field, gram)
+    # blocking join: hash-partitioned on (field, gram-hash)
     joined = q_keys.join(idx_keys, "inner", P, on=("field", "gram"),
                          left_suffix="_q", right_suffix="_i",
                          aggregator_ray_remote_args=JOIN_AGG_ARGS)
@@ -202,6 +348,15 @@ def match_entities(index_ds, query_ds, cfg: EntityMatchConfig | None = None,
         cands = attach_columns(cands, index_ds.select_columns([id_col, f]),
                                "rec_id", id_col, {f: f"i_{f}"},
                                how="inner", num_partitions=P)
+    try:
+        has_me = "max_edits" in (query_ds.schema().names or [])
+    except Exception:
+        has_me = False
+    if has_me:
+        cands = attach_columns(
+            cands, query_ds.select_columns([query_id_col, "max_edits"]),
+            "query_id", query_id_col, {"max_edits": "q_max_edits"},
+            how="inner", num_partitions=P)
     scored = cands.map_batches(_Verifier(cfg), batch_format="pyarrow",
                                batch_size=4096)
 

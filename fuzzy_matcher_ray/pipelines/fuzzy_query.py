@@ -18,7 +18,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from fuzzy_matcher_ray.functions.similarity import levenshtein
+from fuzzy_matcher_ray.functions.similarity import _lev_padded, pad_utf32
 
 # (probe_id, corruption) — applied to the p_name of partkey == probe_id.
 PROBE_SPECS: tuple[tuple[int, str], ...] = ((0, "drop_last"), (1, "swap"),
@@ -52,8 +52,10 @@ def make_probes(sf_dir: str) -> list[tuple[int, str]]:
 
 def fuzzy_topk_levenshtein(sf_dir: str, k: int = 3):
     """(probe_id, p_partkey, dist, rnk) — top-k parts per probe by edit
-    distance. Broadcast probes (ray.put once), vectorized distance per batch,
-    global per-probe top-k via groupby + head(k)."""
+    distance. Broadcast probes (ray.put once), one batched DP per probe per
+    batch (similarity.py ``_lev_padded`` — no per-row Python), per-batch
+    partial top-k under the final (dist, p_partkey) order, tiny global
+    merge."""
     probes = make_probes(sf_dir)
     ref = ray.put(probes)
     parts = rd.read_parquet(f"{sf_dir}/part.parquet",
@@ -61,17 +63,30 @@ def fuzzy_topk_levenshtein(sf_dir: str, k: int = 3):
 
     def _score(t: pa.Table) -> pa.Table:
         pr = ray.get(ref)
-        names = t["p_name"].to_pylist()
+        names = [nm or "" for nm in t["p_name"].to_pylist()]
         keys = t["p_partkey"].to_numpy(zero_copy_only=False)
+        n = len(names)
+        if n == 0:
+            return pa.table({"probe_id": pa.array([], pa.int64()),
+                             "p_partkey": pa.array([], pa.int64()),
+                             "dist": pa.array([], pa.int64())})
+        B, lb = pad_utf32(names)
+        key_rank = np.empty(n, dtype=np.int64)
+        key_rank[np.argsort(keys, kind="stable")] = np.arange(n)
         out_pid, out_key, out_dist = [], [], []
+        kk = min(k, n)
         for pid, ptext in pr:
-            dists = [levenshtein(ptext, nm or "") for nm in names]
-            out_pid.extend([pid] * len(names))
-            out_key.extend(keys.tolist())
-            out_dist.extend(dists)
-        return pa.table({"probe_id": pa.array(out_pid, pa.int64()),
-                         "p_partkey": pa.array(out_key, pa.int64()),
-                         "dist": pa.array(out_dist, pa.int64())})
+            arow, la1 = pad_utf32([ptext])
+            A = np.broadcast_to(arow[0], (n, arow.shape[1]))
+            d = _lev_padded(A, np.full(n, la1[0]), B, lb).astype(np.int64)
+            # partial top-k per batch: selection under the exact final order
+            sel = np.argsort((d << 32) | key_rank, kind="stable")[:kk]
+            out_pid.append(np.full(kk, pid, np.int64))
+            out_key.append(keys[sel])
+            out_dist.append(d[sel])
+        return pa.table({"probe_id": pa.array(np.concatenate(out_pid)),
+                         "p_partkey": pa.array(np.concatenate(out_key)),
+                         "dist": pa.array(np.concatenate(out_dist))})
 
     scored = parts.map_batches(_score, batch_format="pyarrow", batch_size=4096)
 

@@ -2,12 +2,19 @@
 
 - ``knn_topk``: brute-force cosine top-k — the baseline ANN path: the small
   query matrix is broadcast once (``ray.put``), every batch does one numpy
-  matmul against it, per-query top-k comes from a global sort+limit.
+  matmul against it and emits only its OWN top-k rows per query (k·nq rows
+  per batch, selected under the exact final total order), so the global
+  merge shuffles k·nq·n_batches rows instead of the full scored table.
 - ``nearest_neighbor``: per-vector argmax neighbor (embedding-cosine near-dup
-  surface: pairs above a cosine threshold = near-dup edges).
-- ``knn_topk_ivf``: the scale path — a deterministic LSH/IVF bucketing
-  (random-hyperplane signs) prunes candidates before exact scoring, trading
-  recall for a ~2^bits candidate reduction; same output schema.
+  surface: pairs above a cosine threshold = near-dup edges); per-batch
+  partial argmax, tiny global merge.
+- ``knn_topk_ivf``: the scale path — deterministic random-hyperplane LSH
+  buckets as a SHUFFLE KEY: data vectors are filtered to the queries' probed
+  buckets (multi-probe, Hamming ≤ 1), co-located by ``groupby(bucket)``, and
+  scored per bucket against only that bucket's queries. At 10^12-vector
+  scale each vector is scored against the queries sharing its bucket — not
+  every query per batch — and non-probed vectors never enter the shuffle.
+  Recall < 1 by design (see tests/test_knn.py recall gate).
 """
 
 from __future__ import annotations
@@ -16,6 +23,10 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
+
+_EMPTY_SCORED = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
 
 
 def _read(sf_dir: str):
@@ -39,6 +50,43 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _partial_topk(qi: np.ndarray, ids: np.ndarray, sims: np.ndarray,
+                  k: int) -> pa.Table:
+    """Per-batch top-k rows per query under the FINAL total order
+    (rounded cosine desc, neighbor_id asc) — selection before rounding could
+    drop a row that ties at the k-th place after rounding."""
+    nb, nq = sims.shape
+    c_int = (_round6(sims) * 1e6).astype(np.int64)         # exact ints ±1e6
+    id_rank = np.empty(nb, dtype=np.int64)
+    id_rank[np.argsort(ids, kind="stable")] = np.arange(nb)
+    # ascending composite == (cosine desc, neighbor_id asc)
+    comp = ((np.int64(1 << 21) - c_int) << 32) | id_rank[:, None]
+    kk = min(k, nb)
+    sel = np.argsort(comp, axis=0, kind="stable")[:kk]     # (kk, nq)
+    rows = sel.T.reshape(-1)                               # query-major
+    return pa.table({
+        "query_id": pa.array(np.repeat(qi, kk)),
+        "neighbor_id": pa.array(ids[rows]),
+        "cosine": pa.array(_round6(sims[rows, np.repeat(np.arange(nq), kk)])),
+    })
+
+
+def _merge_topk(scored, k: int):
+    """Global merge of the (tiny) per-batch partial top-k tables."""
+    def _topk(g: pa.Table) -> pa.Table:
+        c = g["cosine"].to_numpy(zero_copy_only=False)
+        nid = g["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nid, -c))[:k]
+        return g.take(pa.array(order))
+    out = scored.groupby("query_id").map_groups(_topk, batch_format="pyarrow")
+    return out.sort(["query_id", "cosine", "neighbor_id"],
+                    descending=[False, True, False])
+
+
 def knn_topk(sf_dir: str, n_queries: int = 5, k: int = 5):
     """Top-k cosine neighbors for query vectors (vec_id < n_queries) among
     the rest. Returns (query_id, neighbor_id, cosine rounded 6dp) sorted by
@@ -55,33 +103,19 @@ def knn_topk(sf_dir: str, n_queries: int = 5, k: int = 5):
         keep = ids >= n_queries
         ids, m = ids[keep], m[keep]
         if len(ids) == 0:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
+            return _EMPTY_SCORED
         sims = _normalize_rows(m) @ qm.T                       # (batch, nq)
-        nq = len(qi)
-        return pa.table({
-            "query_id": pa.array(np.tile(qi, len(ids))),
-            "neighbor_id": pa.array(np.repeat(ids, nq)),
-            "cosine": pa.array(np.floor(sims.reshape(-1) * 1e6 + 0.5) / 1e6),
-        })
+        return _partial_topk(qi, ids, sims, k)
 
-    scored = ds.map_batches(_score, batch_format="pyarrow")
-    # global top-k per query: sort desc then per-group head(k) via groupby
-    def _topk(g):
-        import pandas as pd
-        g = g.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        return g
-    out = scored.groupby("query_id").map_groups(_topk, batch_format="pandas")
-    return out.sort(["query_id", "cosine", "neighbor_id"],
-                    descending=[False, True, False])
+    return _merge_topk(ds.map_batches(_score, batch_format="pyarrow"), k)
 
 
 def nearest_neighbor(sf_dir: str, limit_ids: int = 200):
     """(vec_id, nn_id) — argmax-cosine neighbor for each vec_id < limit_ids.
 
     O(n·m) brute force via per-batch matmul against a broadcast probe matrix;
-    ties broken by smaller nn_id (deterministic).
+    per-batch partial argmax (one row per probe per batch), tiny global
+    merge; ties broken by smaller nn_id (deterministic).
     """
     ds = _read(sf_dir)
     probes = ds.filter(expr=f"vec_id < {limit_ids}").to_pandas()
@@ -93,34 +127,49 @@ def nearest_neighbor(sf_dir: str, limit_ids: int = 200):
         pi, pm = ray.get(ref)
         ids, m = _batch_matrix(t)
         sims = pm @ _normalize_rows(m).T                       # (np, batch)
-        # per probe: best in this batch (exclude self)
+        # per probe: best in this batch (exclude self); ties → smaller cand_id
         self_mask = pi[:, None] == ids[None, :]
         sims = np.where(self_mask, -2.0, sims)
-        best = np.argmax(sims, axis=1)
+        order = np.argsort(ids, kind="stable")
+        sims_o = sims[:, order]
+        best = np.argmax(np.round(sims_o, 9), axis=1)
         return pa.table({
             "vec_id": pa.array(pi),
-            "cand_id": pa.array(ids[best]),
-            "cosine": pa.array(np.round(sims[np.arange(len(pi)), best], 9)),
+            "cand_id": pa.array(ids[order][best]),
+            "cosine": pa.array(np.round(sims_o[np.arange(len(pi)), best], 9)),
         })
 
     partials = ds.map_batches(_score, batch_format="pyarrow")
 
-    def _best(g):
-        import pandas as pd
-        g = g.sort_values(["cosine", "cand_id"], ascending=[False, True]).head(1)
-        return pd.DataFrame({"vec_id": g["vec_id"].values,
-                             "nn_id": g["cand_id"].values})
-    out = partials.groupby("vec_id").map_groups(_best, batch_format="pandas")
+    def _best(g: pa.Table) -> pa.Table:
+        c = g["cosine"].to_numpy(zero_copy_only=False)
+        cid = g["cand_id"].to_numpy(zero_copy_only=False)
+        j = np.lexsort((cid, -c))[0]
+        return pa.table({"vec_id": g["vec_id"].slice(j, 1),
+                         "nn_id": g["cand_id"].slice(j, 1)})
+    out = partials.groupby("vec_id").map_groups(_best, batch_format="pyarrow")
     return out.sort("vec_id")
+
+
+def _bucket_of(sig: np.ndarray) -> np.ndarray:
+    """Bit-pack sign rows (n, bits) → bucket ids (n,) int64."""
+    weights = (1 << np.arange(sig.shape[1], dtype=np.int64))[::-1]
+    return sig.astype(np.int64) @ weights
 
 
 def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, bits: int = 2,
                  seed: int = 7):
-    """LSH-bucketed ANN: random-hyperplane sign buckets prune candidates.
+    """LSH-bucketed ANN with the bucket as the SHUFFLE key.
 
-    A query only scores vectors in its own bucket (multi-probe: plus buckets
-    at Hamming distance 1) — at 10^12-vector scale buckets are the shuffle
-    key; here the bucket filter runs inline per batch. Recall < 1 by design.
+    1. Queries hash to sign buckets; multi-probe expands each query to its
+       bucket plus all Hamming-distance-1 buckets (bits+1 probes/query).
+    2. The data pass keeps only vectors whose bucket is probed by some query
+       and emits (bucket, vec_id, embedding) rows — non-candidate vectors
+       never enter the shuffle.
+    3. ``groupby(bucket)`` co-locates each bucket; the per-group kernel
+       scores the group's matrix against ONLY the queries probing that
+       bucket and emits per-(query, bucket) partial top-k.
+    4. A tiny global merge reduces the per-bucket partials.
     """
     ds = _read(sf_dir)
     q_tbl = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
@@ -128,36 +177,57 @@ def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, bits: int = 2,
     q_mat = _normalize_rows(np.stack(q_tbl["embedding"].to_numpy()).astype(np.float64))
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((q_mat.shape[1], bits))
-    q_sig = (q_mat @ planes > 0).astype(np.uint8)
-    # multi-probe: accept candidate buckets within Hamming distance 1
-    ref = ray.put((q_ids, q_mat, planes, q_sig))
+    q_sig = (q_mat @ planes > 0).astype(np.uint8)              # (nq, bits)
+    # multi-probe: own bucket + every Hamming-1 bucket
+    q_buckets = _bucket_of(q_sig)                              # (nq,)
+    flips = np.eye(bits, dtype=np.uint8)
+    probe_buckets = [q_buckets]
+    for f in flips:
+        probe_buckets.append(_bucket_of(q_sig ^ f[None, :]))
+    probes = np.stack(probe_buckets, axis=1)                   # (nq, bits+1)
+    # bucket → indices of queries probing it
+    bucket_queries: dict[int, np.ndarray] = {}
+    for b in np.unique(probes):
+        mask = (probes == b).any(axis=1)
+        bucket_queries[int(b)] = np.nonzero(mask)[0]
+    probed = np.array(sorted(bucket_queries), dtype=np.int64)
+    ref = ray.put((q_ids, q_mat, planes, bucket_queries))
 
-    def _score(t: pa.Table) -> pa.Table:
-        qi, qm, pl, qs = ray.get(ref)
+    def _keyed(t: pa.Table) -> pa.Table:
+        _, _, pl, _ = ray.get(ref)
         ids, m = _batch_matrix(t)
         keep = ids >= n_queries
         ids, m = ids[keep], m[keep]
+        dim = m.shape[1] if len(ids) else q_mat.shape[1]
         if len(ids) == 0:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.float64()), dim)})
         mn = _normalize_rows(m)
-        sig = (mn @ pl > 0).astype(np.uint8)                   # (batch, bits)
-        ham = (sig[None, :, :] != qs[:, None, :]).sum(axis=2)  # (nq, batch)
-        sims = np.where(ham <= 1, qm @ mn.T, -2.0)
-        nq = len(qi)
-        mask = sims.reshape(-1) > -2.0
+        buckets = _bucket_of((mn @ pl > 0).astype(np.uint8))
+        sel = np.isin(buckets, probed)      # prune before the shuffle
+        mn, ids, buckets = mn[sel], ids[sel], buckets[sel]
         return pa.table({
-            "query_id": pa.array(np.repeat(qi, len(ids))[mask]),
-            "neighbor_id": pa.array(np.tile(ids, nq)[mask]),
-            "cosine": pa.array(np.floor(sims.reshape(-1)[mask] * 1e6 + 0.5) / 1e6),
+            "bucket": pa.array(buckets),
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mn.reshape(-1)), mn.shape[1]),
         })
 
-    scored = ds.map_batches(_score, batch_format="pyarrow")
+    keyed = ds.map_batches(_keyed, batch_format="pyarrow")
 
-    def _topk(g):
-        return g.sort_values(["cosine", "neighbor_id"],
-                             ascending=[False, True]).head(k)
-    out = scored.groupby("query_id").map_groups(_topk, batch_format="pandas")
-    return out.sort(["query_id", "cosine", "neighbor_id"],
-                    descending=[False, True, False])
+    def _score_bucket(g: pa.Table) -> pa.Table:
+        qi, qm, _, bq = ray.get(ref)
+        bucket = int(g["bucket"][0].as_py())
+        q_idx = bq.get(bucket)
+        if q_idx is None or len(g) == 0:
+            return _EMPTY_SCORED
+        ids, m = _batch_matrix(g.select(["vec_id", "embedding"]))
+        sims = m @ qm[q_idx].T                                 # (group, nq_b)
+        return _partial_topk(qi[q_idx], ids, sims, k)
+
+    scored = keyed.groupby("bucket").map_groups(_score_bucket,
+                                                batch_format="pyarrow")
+    return _merge_topk(scored, k)

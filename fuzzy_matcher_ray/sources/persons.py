@@ -61,3 +61,33 @@ def queries_table(cases: list[tuple[int, str, str, str]]) -> pa.Table:
         "surname": pa.array(sur, pa.string()),
         "birthdate": pa.array(bd, pa.string()),
     })
+
+
+def example_search_parameters(firstname: str, surname: str,
+                              birthdate: str) -> dict:
+    """Per-record dynamic search parameters — ≙ ExampleSource
+    GetSearchParameters + ValidateEntry (example_source.go:20-101): short
+    names (avg(len(first), len(sur)) <= 3.5 after trim+lower) or any missing
+    required field force MaxDepth/MaxEdits of 0 on every field (exact-only
+    tier); valid records get the fuzzy budgets. Weights / methods /
+    min-distances are static.
+
+    The pipeline analogue: a ``max_edits`` column on the query table —
+    ``min(max_edits.values())`` per record — consumed by
+    ``pipelines.entity_match`` (0 ⇒ exact-only row tier).
+    """
+    fn = firstname.strip().lower()
+    sn = surname.strip().lower()
+    valid = bool(fn) and bool(sn) and bool(birthdate) \
+        and (len(fn) + len(sn)) / 2.0 > 3.5
+    budgets = {"firstname": 6, "surname": 2, "birthdate": 2} if valid else \
+        {"firstname": 0, "surname": 0, "birthdate": 0}
+    return {
+        "max_depth": dict(budgets),
+        "max_edits": dict(budgets),
+        "weights": {"firstname": 0.2, "surname": 0.4, "birthdate": 0.4},
+        "calculation_methods": {"firstname": "jaro_winkler",
+                                "surname": "jaro_winkler",
+                                "birthdate": "exact"},
+        "min_distances": {"firstname": 0.7, "surname": 0.9, "birthdate": 1.0},
+    }

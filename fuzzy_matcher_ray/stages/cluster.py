@@ -36,6 +36,30 @@ from fuzzy_matcher_ray.functions.unionfind import connected_components
 from fuzzy_matcher_ray.stages.joins import attach_columns
 
 
+def _coalesce_i64(primary, fallback) -> pa.Array:
+    """``coalesce(primary, fallback)`` for int64 columns WITHOUT
+    ``pc.coalesce``: on worker-side fused batches (zero-copy plasma buffers)
+    pc.coalesce was observed intermittently emitting the garbage data-buffer
+    values under null slots (is_null on the same column is correct, the
+    coalesce result is not — nulls became 0s and corrupted singleton cluster
+    ids). Fill via the is_null mask + take of the valid slots instead; every
+    kernel used here (is_null, take) is verified against the same batches.
+    """
+    import pyarrow.compute as pc
+    if isinstance(primary, pa.ChunkedArray):
+        primary = primary.combine_chunks()
+    mask = pc.is_null(primary).to_numpy(zero_copy_only=False).astype(bool)
+    fb = fallback.to_numpy(zero_copy_only=False)
+    if not mask.any():
+        return pa.array(primary.to_numpy(zero_copy_only=False), pa.int64())
+    out = fb.astype(np.int64, copy=True)
+    valid_idx = np.nonzero(~mask)[0]
+    if len(valid_idx):
+        taken = primary.take(pa.array(valid_idx, pa.int64()))
+        out[valid_idx] = taken.to_numpy(zero_copy_only=False)
+    return pa.array(out, pa.int64())
+
+
 def cluster_edges(edges, docs, cfg: PipelineConfig, strategy: str = "auto"):
     """edges (a:int64, b:int64) + docs (doc_id) → (doc_id, cluster_id).
 
@@ -53,8 +77,7 @@ def cluster_edges(edges, docs, cfg: PipelineConfig, strategy: str = "auto"):
                          num_partitions=cfg.join_num_partitions)
 
     def _fill(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        cid = pc.coalesce(pc.cast(t["cluster_id"], pa.int64()), t["doc_id"])
+        cid = _coalesce_i64(t["cluster_id"], t["doc_id"])
         return pa.table({"doc_id": t["doc_id"], "cluster_id": cid})
 
     return out.map_batches(_fill, batch_format="pyarrow")
@@ -119,8 +142,7 @@ def _distributed_labels(edges, cfg: PipelineConfig):
                                 num_partitions=P)
 
         def _jump(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            lab = pc.coalesce(pc.cast(t["label2"], pa.int64()), t["label"])
+            lab = _coalesce_i64(t["label2"], t["label"])
             return pa.table({"node": t["node"], "label": lab})
 
         labels = jumped.map_batches(_jump, batch_format="pyarrow").materialize()
