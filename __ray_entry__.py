@@ -28,6 +28,11 @@ def entry() -> Any:
     return find_duplicates(docs, PipelineConfig())
 
 
+def _em_customers(sf_dir: str):
+    from fuzzy_matcher_ray.pipelines.entity_match import match_customers
+    return match_customers(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.pipelines import events as ev
@@ -78,6 +83,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_neighbor": knn.nearest_neighbor,
         # --- fuzzy matching (SQL-checked, integer distances) ---
         "fuzzy_topk_levenshtein": fuzzy_topk_levenshtein,
+        # --- entity match (SQL-checked, integer ranks) ---
+        "entity_match_customers": _em_customers,
         # --- flagship dedup passes (rows-only; pytest brute-force oracle) ---
         "dedup_full": flagship,
         "dedup_minhash": minhash_only,
@@ -230,6 +237,40 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY dist, p_partkey)::BIGINT AS rnk FROM scored)
             SELECT probe_id::BIGINT AS probe_id, p_partkey, dist, rnk
             FROM r WHERE rnk <= 3 ORDER BY probe_id, rnk""",
+        # entity match: probes rebuilt in SQL from the same customer table
+        # (corruption kind = c_custkey - 1, mirroring entity_match._corrupt);
+        # score = 1 - lev/maxlen on normalized names, output integer ranks
+        "entity_match_customers": """
+            WITH probes AS (
+                SELECT c_custkey AS query_id,
+                       CASE c_custkey % 5
+                         WHEN 0 THEN substr(c_name, 1, length(c_name) - 1)
+                         WHEN 1 THEN CASE WHEN length(c_name) > 3
+                              THEN substr(c_name, 1, 1) || substr(c_name, 3, 1)
+                                   || substr(c_name, 2, 1) || substr(c_name, 4)
+                              ELSE substr(c_name, 1, 1) || c_name END
+                         WHEN 2 THEN regexp_replace(
+                              regexp_replace(c_name, 'o', '0'), 'l', '1')
+                         WHEN 3 THEN substr(c_name, 2)
+                         ELSE substr(c_name, 1, 1) || c_name
+                       END AS probe_text
+                FROM customer WHERE c_custkey < 5),
+            nidx AS (SELECT c_custkey,
+                            regexp_replace(lower(c_name), '[^a-zA-Z0-9]+', '', 'g') AS nn
+                     FROM customer),
+            nprb AS (SELECT query_id,
+                            regexp_replace(lower(probe_text), '[^a-zA-Z0-9]+', '', 'g') AS pn
+                     FROM probes),
+            scored AS (SELECT nprb.query_id, nidx.c_custkey AS rec_id,
+                              1.0 - levenshtein(nprb.pn, nidx.nn)::DOUBLE
+                                    / greatest(length(nprb.pn), length(nidx.nn), 1) AS sim
+                       FROM nidx, nprb),
+            r AS (SELECT query_id, rec_id,
+                         row_number() OVER (PARTITION BY query_id
+                             ORDER BY sim DESC, rec_id)::BIGINT AS rnk
+                  FROM scored)
+            SELECT query_id, rec_id, rnk FROM r WHERE rnk <= 3
+            ORDER BY query_id, rnk""",
         # dedup_full / dedup_minhash / dedup_simhash / dedup_substring /
         # fingerprint_counts / knn_topk_ivf / multimodal_decode:
         # intentionally omitted — LSH band membership, winnowing and the stub

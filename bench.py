@@ -125,6 +125,11 @@ def run_bench() -> dict:
     user_hourly_windows(SF_DIR).count()
     queries["user_hourly_windows"] = round(time.perf_counter() - t0, 3)
 
+    from fuzzy_matcher_ray.pipelines.entity_match import match_customers
+    t0 = time.perf_counter()
+    match_customers(SF_DIR).count()
+    queries["entity_match_customers"] = round(time.perf_counter() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "near-dup dedup end-to-end wall",

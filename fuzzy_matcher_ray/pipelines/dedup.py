@@ -244,10 +244,22 @@ def find_duplicates(docs, cfg: PipelineConfig | None = None,
         return rd.from_arrow(pa.table(empty))
     ck = checkpointer or Checkpointer("/tmp/fmr-ck-disabled", cfg.config_hash(),
                                       enabled=False)
-    from fuzzy_matcher_ray.stages.joins import effective_partitions
-    n_blocks = effective_partitions(cfg.join_num_partitions)
-    # split into ~CPU-many blocks so every signature stage fans out even when
-    # the source is a single parquet file / arrow table (block split, no move)
+    from fuzzy_matcher_ray.stages.joins import partitions_for
+    # Size block count AND every downstream shuffle/join to the DATA, capped
+    # by CPUs: at 100 TB bytes/16 MB dwarfs any cluster so this is always the
+    # CPU cap; on small inputs it stops per-task fixed costs and concurrent
+    # allocation contention from dominating (measured: the 92 MB bench corpus
+    # runs 2x faster 8-wide than 32-wide on a 32-cpu box).
+    # docs.size_bytes() comes from parquet metadata / in-memory blocks — it
+    # never executes the pipeline.
+    try:
+        src_bytes = docs.size_bytes()
+    except Exception:
+        src_bytes = None
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, join_num_partitions=partitions_for(
+        cfg.join_num_partitions, src_bytes))
+    n_blocks = cfg.join_num_partitions
     norm = ck.stage("normalize",
                     lambda: normalized_docs(docs, cfg).repartition(n_blocks))
     # one broadcast copy of (doc_id → norm_text) shared by every verify pass

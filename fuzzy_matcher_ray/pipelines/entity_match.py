@@ -367,3 +367,59 @@ def match_entities(index_ds, query_ds, cfg: EntityMatchConfig | None = None,
         return g
     out = scored.groupby("query_id").map_groups(_topk, batch_format="pandas")
     return out.sort(["query_id", "rnk"])
+
+
+# Deterministic probe corruptions over customer names — the same five kinds
+# as pipelines/fuzzy_query.py PROBE_SPECS so the DuckDB oracle can rebuild
+# them in SQL from the same table.
+def _corrupt(name: str, kind: int) -> str:
+    if kind == 0:
+        return name[:-1]                                    # drop last
+    if kind == 1:
+        return (name[0] + name[2] + name[1] + name[3:]
+                if len(name) > 3 else name[0] + name)       # swap 2nd/3rd
+    if kind == 2:
+        return name.replace("o", "0", 1).replace("l", "1", 1)   # ocr digits
+    if kind == 3:
+        return name[1:]                                     # drop first
+    return name[0] + name                                   # double first
+
+
+def match_customers(sf_dir: str, k: int = 3):
+    """Oracle-checked entity-match query: fuzzy top-k customer lookup.
+
+    Index = the ``customer`` table (id = c_custkey, one field ``name`` =
+    c_name); probes = deterministic corruptions of the first five customer
+    names. Single levenshtein-method field, no OCR fold, no thresholds —
+    the DuckDB oracle reproduces the exact score ``1 - lev/maxlen`` on
+    normalized names, so the driver hash-checks (query_id, rec_id, rnk).
+
+    Blocking note: every c_name shares the "customer" prefix grams, so the
+    blocking join degenerates to probes × customers here — candidate
+    completeness is exact, and with 5 probes the fan-out is trivial. (Real
+    name corpora block sub-linearly; this query is the correctness anchor,
+    not the scale path.)
+    """
+    import duckdb
+    con = duckdb.connect()
+    rows = con.sql(
+        f"select c_custkey, c_name from read_parquet('{sf_dir}/customer.parquet') "
+        "where c_custkey < 5 order by c_custkey").fetchall()
+    con.close()
+    q_tbl = pa.table({
+        "query_id": pa.array([ck for ck, _ in rows], pa.int64()),
+        # corruption kind keyed on c_custkey so the SQL oracle rebuilds the
+        # identical probes from the same table
+        "name": pa.array([_corrupt(nm, ck % 5) for ck, nm in rows],
+                         pa.string()),
+    })
+    idx = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_name"]) \
+            .rename_columns({"c_name": "name"})
+    from fuzzy_matcher_ray.config import FieldParams
+    cfg = EntityMatchConfig(
+        fields={"name": FieldParams(1.0, "levenshtein", 0.0, 64)},
+        global_max_edits=1 << 20, top_k=k, ocr_fold=False)
+    out = match_entities(idx, rd.from_arrow(q_tbl), cfg,
+                         id_col="c_custkey", query_id_col="query_id")
+    return out.select_columns(["query_id", "rec_id", "rnk"])

