@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- embeddings / similarity search (SQL-checked) ---
         "knn_topk": knn.knn_topk,
         "nearest_neighbor": knn.nearest_neighbor,
+        "embedding_dup_pairs": knn.embedding_dup_pairs,
         # --- fuzzy matching (SQL-checked, integer distances) ---
         "fuzzy_topk_levenshtein": fuzzy_topk_levenshtein,
         # --- entity match (SQL-checked, integer ranks) ---
@@ -92,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring": substring_only,
         "fingerprint_counts": textops.fingerprint_counts,
         "knn_topk_ivf": knn.knn_topk_ivf,
+        "embedding_dup_clusters": knn.embedding_dup_clusters,
         # --- multimodal plumbing (stub decode; rows-only) ---
         "multimodal_decode": multimodal.decode_binary_docs,
     }
@@ -216,6 +218,15 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
             SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= 5
             ORDER BY query_id, cosine DESC, neighbor_id""",
+        "embedding_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings),
+            s AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                         floor(list_cosine_similarity(
+                             list_transform(a.embedding, x -> x::DOUBLE),
+                             list_transform(b.embedding, x -> x::DOUBLE))
+                               * 1e6 + 0.5) / 1e6 AS cosine
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            SELECT a, b, cosine FROM s WHERE cosine >= 0.4 ORDER BY a, b""",
         "nearest_neighbor": """
             WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
             s AS (SELECT p.vec_id, e.vec_id AS cand_id,

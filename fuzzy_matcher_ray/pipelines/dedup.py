@@ -228,12 +228,21 @@ def substring_edges(norm, cfg: PipelineConfig, attacher=None, exclude_edges=None
 def find_duplicates(docs, cfg: PipelineConfig | None = None,
                     checkpointer: Checkpointer | None = None,
                     passes: tuple = ("exact", "minhash", "simhash", "substring"),
-                    cluster_strategy: str = "auto"):
+                    cluster_strategy: str = "auto", now=None):
     """docs (doc_id, url, text, ...) → (doc_id, cluster_id [, url]).
 
     The full flagship. Returns a Dataset of one row per input doc.
+    With ``cfg.ttl_mode`` the expiry invariant is enforced (every row must
+    carry a non-null valid_until — ≙ Build error on zero expiry,
+    fuzzy_matcher_core.go:85-95) and, when ``now`` is given, expired rows
+    are dropped before any hashing (search-time auto-clean,
+    fuzzy_matcher.go:29-32).
     """
     cfg = cfg or PipelineConfig()
+    if cfg.ttl_mode:
+        from fuzzy_matcher_ray.state.tombstones import filter_expired, validate_ttl
+        docs = validate_ttl(docs) if now is None else \
+            filter_expired(docs, now, ttl_mode=True)
     # emptiness probe via limit(1): executes at most one task, unlike a
     # count() which would run the full upstream pipeline before the real run
     if docs.limit(1).count() == 0:

@@ -151,6 +151,55 @@ def nearest_neighbor(sf_dir: str, limit_ids: int = 200):
     return out.sort("vec_id")
 
 
+def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-dup pairs: (a, b, cosine) for all vector pairs
+    with rounded cosine >= threshold, a < b.
+
+    Exact all-pairs via per-batch matmul against the broadcast normalized
+    matrix — the correctness anchor (DuckDB-oracle-checked). At web scale
+    the LSH-bucketed candidates (knn_topk_ivf's bucket shuffle) replace the
+    broadcast; this table is the small side by construction here.
+    """
+    ds = _read(sf_dir)
+    full = ds.to_pandas()
+    ids_all = full["vec_id"].to_numpy()
+    mat_all = _normalize_rows(np.stack(full["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put((ids_all, mat_all))
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        ai, am = ray.get(ref)
+        ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sims = _round6(_normalize_rows(m) @ am.T)              # (batch, all)
+        keep = (sims >= threshold) & (ids[:, None] < ai[None, :])
+        bi, ci = np.nonzero(keep)
+        return pa.table({"a": pa.array(ids[bi]),
+                         "b": pa.array(ai[ci]),
+                         "cosine": pa.array(sims[bi, ci])})
+
+    return ds.map_batches(_pairs, batch_format="pyarrow").sort(["a", "b"])
+
+
+def embedding_dup_clusters(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-dup CLUSTERS: connected components over the
+    >= threshold pair graph; every vec_id appears once, singletons keep
+    their own id (same contract as the text dedup flagship)."""
+    from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.stages.cluster import cluster_edges
+    ds = _read(sf_dir)
+    edges = embedding_dup_pairs(sf_dir, threshold).select_columns(["a", "b"])
+    nodes = ds.map_batches(
+        lambda t: pa.table({"doc_id": t["vec_id"]}), batch_format="pyarrow")
+    out = cluster_edges(edges, nodes, PipelineConfig())
+    return out.map_batches(
+        lambda t: pa.table({"vec_id": t["doc_id"],
+                            "cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow").sort("vec_id")
+
+
 def _bucket_of(sig: np.ndarray) -> np.ndarray:
     """Bit-pack sign rows (n, bits) → bucket ids (n,) int64."""
     weights = (1 << np.arange(sig.shape[1], dtype=np.int64))[::-1]

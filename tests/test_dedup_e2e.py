@@ -202,3 +202,33 @@ def test_fresh_runs_deterministic(ray_session):
         assert set(df.cluster_id).issubset(set(df.doc_id))
         runs.append(dict(zip(df.doc_id, df.cluster_id)))
     assert runs[0] == runs[1], "fresh runs produced different clusters"
+
+
+def test_ttl_mode_flagship(ray_session):
+    """find_duplicates with cfg.ttl_mode enforces the expiry invariant and
+    drops expired rows before hashing (search-time auto-clean)."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
+    cfg = dataclasses.replace(CFG, ttl_mode=True)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "url": pa.array(["a", "b", "c"]),
+        "text": pa.array(["some document text here alpha"] * 3),
+        "lang": pa.array(["en"] * 3),
+        "valid_until": pa.array([
+            np.datetime64("2030-01-01T00:00:00", "us"),
+            np.datetime64("2030-01-01T00:00:00", "us"),
+            np.datetime64("2001-01-01T00:00:00", "us")])})
+    out = find_duplicates(rd.from_arrow(t), cfg,
+                          now=np.datetime64("2026-01-01T00:00:00", "us")).to_pandas()
+    assert set(out.doc_id) == {1, 2}          # expired doc 3 dropped
+    assert out.cluster_id.nunique() == 1      # identical survivors co-cluster
+    # invariant violation fails the run
+    bad = t.set_column(4, "valid_until", pa.array(
+        [np.datetime64("2030-01-01T00:00:00", "us"), None, None]))
+    with pytest.raises(Exception) as ei:
+        find_duplicates(rd.from_arrow(bad), cfg).to_pandas()
+    assert "ttl_mode" in str(ei.value)
