@@ -94,8 +94,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_counts": textops.fingerprint_counts,
         "knn_topk_ivf": knn.knn_topk_ivf,
         "embedding_dup_clusters": knn.embedding_dup_clusters,
-        # --- multimodal plumbing (stub decode; rows-only) ---
+        # --- multimodal (REAL WAV/PPM decode, pytest round-trip oracle;
+        #     codec formats remain honestly stubbed) ---
         "multimodal_decode": multimodal.decode_binary_docs,
+        "multimodal_media_decode": multimodal.decode_media_docs,
     }
 
 

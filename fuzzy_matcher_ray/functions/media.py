@@ -1,0 +1,118 @@
+"""Pure-numpy media encode/decode for container-less formats.
+
+WAV (RIFF/PCM) and PPM (netpbm P6) need no codec library — their headers
+are plain structs and their payloads raw samples/pixels — so this sandbox
+can implement REAL decode for them (the multimodal stage stubs only the
+codec formats: JPEG/PNG/MP3/H.264 stay behind NotImplementedError).
+
+Encoders exist to synthesize deterministic test payloads; decoders are the
+product surface. Round-trip exactness is asserted in tests/test_multimodal.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WAV_MAGIC = b"RIFF"
+PPM_MAGIC = b"P6"
+
+
+def make_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono 16-bit PCM WAV from an int16 sample array."""
+    samples = np.asarray(samples, dtype="<i2")
+    data = samples.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def parse_wav(buf: bytes) -> dict:
+    """Header + samples of a mono/stereo PCM WAV. Raises ValueError on a
+    malformed payload (dead-lettered by the decode stage, never crashes
+    the pipeline)."""
+    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", buf, pos + 4)
+        body = buf[pos + 8: pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt, n_ch, rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
+    samples = np.frombuffer(data, dtype="<i2")
+    if n_ch > 1:
+        samples = samples[: (len(samples) // n_ch) * n_ch].reshape(-1, n_ch)
+    n_frames = len(samples) if samples.ndim == 1 else samples.shape[0]
+    return {"channels": int(n_ch), "sample_rate": int(rate),
+            "n_frames": int(n_frames),
+            "duration_ms": int(round(n_frames * 1000 / rate)),
+            "samples": samples}
+
+
+def wav_rms(samples: np.ndarray) -> float:
+    """RMS amplitude of int16 samples, normalized to [0, 1]."""
+    if samples.size == 0:
+        return 0.0
+    x = samples.astype(np.float64) / 32768.0
+    return float(np.sqrt(np.mean(x * x)))
+
+
+def make_ppm(pixels: np.ndarray) -> bytes:
+    """P6 binary PPM from a (h, w, 3) uint8 array."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + \
+        np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def parse_ppm(buf: bytes) -> dict:
+    """Header + pixels of a binary P6 PPM. Raises ValueError when malformed."""
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval — whitespace/comment separated
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3 and pos < len(buf):
+        while pos < len(buf) and buf[pos:pos + 1].isspace():
+            pos += 1
+        if buf[pos:pos + 1] == b"#":
+            while pos < len(buf) and buf[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(buf[start:pos]))
+    pos += 1                                    # single whitespace after maxval
+    if len(fields) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    need = w * h * 3
+    raw = buf[pos: pos + need]
+    if len(raw) < need:
+        raise ValueError("truncated PPM pixel data")
+    return {"width": int(w), "height": int(h),
+            "pixels": np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)}
+
+
+def ppm_mean_luma(pixels: np.ndarray) -> float:
+    """Mean Rec.601 luma of (h, w, 3) uint8 pixels, in [0, 255]."""
+    if pixels.size == 0:
+        return 0.0
+    p = pixels.astype(np.float64)
+    return float(np.mean(0.299 * p[..., 0] + 0.587 * p[..., 1]
+                         + 0.114 * p[..., 2]))

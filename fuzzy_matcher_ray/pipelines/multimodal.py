@@ -10,6 +10,8 @@ rows are wide, and the output is typed metadata columns.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
@@ -51,6 +53,102 @@ class StubImageDecoder:
             "width": pa.array(meta["width"]),
             "height": pa.array(meta["height"]),
         })
+
+
+class MediaDecoder:
+    """Actor-pool decode stage with REAL decoders for container-less
+    formats (WAV PCM, PPM — pure numpy/struct, no codec library) and a
+    clearly-marked stub path for codec formats (JPEG/PNG/MP3: no libs in
+    this sandbox). Malformed payloads are dead-lettered (kind="error"),
+    never crash the stage.
+
+    Output per row: (doc_id, kind, n_bytes, width, height, channels,
+    sample_rate, duration_ms, feature) — ``feature`` is a real computed
+    signal: RMS amplitude for audio, mean Rec.601 luma for images.
+    """
+
+    def __init__(self):
+        # per-actor init: dispatch table built once (≙ codec/model load)
+        from fuzzy_matcher_ray.functions import media
+        self.media = media
+
+    def _one(self, buf: bytes) -> tuple:
+        m = self.media
+        try:
+            if buf.startswith(m.WAV_MAGIC):
+                w = m.parse_wav(buf)
+                return ("wav", None, None, w["channels"], w["sample_rate"],
+                        w["duration_ms"], m.wav_rms(w["samples"]))
+            if buf.startswith(m.PPM_MAGIC):
+                p = m.parse_ppm(buf)
+                return ("ppm", p["width"], p["height"], None, None, None,
+                        m.ppm_mean_luma(p["pixels"]))
+            # codec formats would dispatch to PIL/libsndfile here — absent
+            # in this sandbox, so: honestly unknown, not fake-decoded
+            return ("unknown", None, None, None, None, None, None)
+        except (ValueError, struct.error) as e:
+            return ("error", None, None, None, None, None, None)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        data, offsets = string_buffer(payload)
+        n_bytes = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        rows = [self._one(b.as_py() or b"") for b in payload]
+        cols = list(zip(*rows)) if rows else [[]] * 7
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "kind": pa.array(cols[0], pa.string()),
+            "n_bytes": pa.array(n_bytes),
+            "width": pa.array(cols[1], pa.int64()),
+            "height": pa.array(cols[2], pa.int64()),
+            "channels": pa.array(cols[3], pa.int64()),
+            "sample_rate": pa.array(cols[4], pa.int64()),
+            "duration_ms": pa.array(cols[5], pa.int64()),
+            "feature": pa.array(cols[6], pa.float64()),
+        })
+
+
+def synth_media_payload(doc_id: int) -> bytes:
+    """Deterministic WAV (even ids) / PPM (odd ids) payload for a doc id —
+    the sandbox stand-in for a real binary media column. Parameters derive
+    from the id, so tests can assert exact decode round-trips."""
+    from fuzzy_matcher_ray.functions import media
+    h = int(splitmix64(np.array([doc_id], dtype=np.uint64))[0])
+    if doc_id % 2 == 0:
+        rate = 8000 + (h % 4) * 4000                  # 8/12/16/20 kHz
+        n = 200 + (h >> 8) % 800
+        t = np.arange(n, dtype=np.float64)
+        freq = 100.0 + (h >> 16) % 400
+        samples = (np.sin(2 * np.pi * freq * t / rate) * 12000).astype(np.int16)
+        return media.make_wav(samples, rate)
+    w = 8 + (h % 64)
+    ht = 8 + ((h >> 8) % 48)
+    px = ((np.arange(w * ht * 3, dtype=np.uint64) * np.uint64(h & 0xFFFF))
+          % np.uint64(251)).astype(np.uint8).reshape(ht, w, 3)
+    return media.make_ppm(px)
+
+
+def decode_media_docs(sf_dir: str):
+    """Real-decode pipeline over a synthesized media column: per-doc WAV/PPM
+    payloads (deterministic from doc_id), decoded by the MediaDecoder actor
+    pool. Output (doc_id, kind, n_bytes, width, height, channels,
+    sample_rate, duration_ms, feature) sorted by doc_id."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _attach_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array([synth_media_payload(int(i)) for i in ids],
+                                pa.binary()),
+        })
+
+    binary_ds = ds.map_batches(_attach_payload, batch_format="pyarrow")
+    out = binary_ds.map_batches(MediaDecoder, batch_format="pyarrow",
+                                batch_size=256, concurrency=(1, 4))
+    return out.sort("doc_id")
 
 
 def decode_binary_docs(sf_dir: str):
