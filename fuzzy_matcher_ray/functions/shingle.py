@@ -233,11 +233,6 @@ def segmented_intersection_counts(uh: np.ndarray, uc: np.ndarray,
 
     ``uh``/``uc`` are the concatenated per-doc sorted-unique hash sets (as
     returned by :func:`unique_per_doc`); ``ia``/``ib`` index docs per pair.
-    Fully vectorized: hash values are densely re-ranked (one sort of the
-    distinct pool), every (doc, rank) becomes one int64 composite — globally
-    ascending by construction — and each a-side element is binary-searched
-    against its pair's b-doc composite range in ONE ``np.searchsorted`` call.
-    ~10x cheaper than sorting the per-pair gathered multiset.
     """
     n = len(ia)
     if n == 0 or uh.size == 0:

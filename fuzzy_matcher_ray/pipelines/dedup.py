@@ -108,10 +108,14 @@ def signature_table(norm, cfg: PipelineConfig):
 
 
 def _verified_jaccard(pairs, norm, cfg: PipelineConfig, attacher,
-                      threshold: float | None = None):
-    """Exact-Jaccard verification: pairs stay (a, b)-slim when the shared
-    text broadcast exists; otherwise texts are attached by hash join."""
-    if attacher is not None:
+                      threshold: float | None = None, sets_ref=None):
+    """Exact-Jaccard verification. Preference order: the precomputed
+    corpus shingle-set artifact (zero per-batch shingling), the shared text
+    broadcast (per-batch chunked recompute), a hash join attaching texts."""
+    if sets_ref is not None:
+        ver = JaccardVerifier(cfg, threshold, sets_ref=sets_ref)
+        src = pairs
+    elif attacher is not None:
         ver = JaccardVerifier(cfg, threshold, text_ref=attacher.ref)
         src = pairs
     else:
@@ -122,15 +126,17 @@ def _verified_jaccard(pairs, norm, cfg: PipelineConfig, attacher,
                            batch_size=cfg.verify_batch_size)
 
 
-def minhash_edges(norm, cfg: PipelineConfig, attacher=None, sigs=None):
+def minhash_edges(norm, cfg: PipelineConfig, attacher=None, sigs=None,
+                  sets_ref=None):
     """MinHash/LSH pass → exact-Jaccard-verified edges (a, b, jaccard)."""
     if sigs is None:
         sigs = signature_table(norm, cfg)
     pairs = key_pairs(band_key_rows(sigs, cfg), ["band", "band_hash"], cfg)
-    return _verified_jaccard(pairs, norm, cfg, attacher)
+    return _verified_jaccard(pairs, norm, cfg, attacher, sets_ref=sets_ref)
 
 
-def simhash_edges(norm, cfg: PipelineConfig, attacher=None, sigs=None):
+def simhash_edges(norm, cfg: PipelineConfig, attacher=None, sigs=None,
+                  sets_ref=None):
     """SimHash block pass: Hamming ≤ d candidates, then exact-Jaccard verify
     at a relaxed threshold (backstop for near-threshold MinHash misses)."""
     if sigs is None:
@@ -140,7 +146,8 @@ def simhash_edges(norm, cfg: PipelineConfig, attacher=None, sigs=None):
                       pair_filter=simhash_pair_filter(cfg.simhash_hamming_max))
     pairs = _edges_only(pairs)
     relaxed = max(0.5, cfg.jaccard_threshold - 0.1)
-    return _verified_jaccard(pairs, norm, cfg, attacher, relaxed)
+    return _verified_jaccard(pairs, norm, cfg, attacher, relaxed,
+                             sets_ref=sets_ref)
 
 
 def _exclude_known_pairs(pairs, known_edges, broadcast_max: int = 20_000_000):
@@ -278,14 +285,23 @@ def find_duplicates(docs, cfg: PipelineConfig | None = None,
         attacher = BroadcastAttacher(norm, "doc_id", ["norm_text"])
     # ONE signature stage (single shingle pass) feeds both LSH passes
     sigs = None
+    sets_ref = None
     if "minhash" in passes or "simhash" in passes:
         sigs = ck.stage("signatures", lambda: signature_table(norm, cfg))
+        # corpus shingle-set artifact: the Jaccard verifies of both passes
+        # intersect zero-copy against ONE plasma object instead of
+        # re-shingling every batch's distinct docs (size-gated; None ⇒
+        # verifiers fall back to the text broadcast / join paths)
+        from fuzzy_matcher_ray.stages.verify import build_shingle_sets
+        sets_ref = build_shingle_sets(norm, cfg)
     builders = {
         "exact": lambda: exact_dup_edges(norm, cfg),
         "minhash": lambda: _edges_only(
-            minhash_edges(norm, cfg, attacher=attacher, sigs=sigs)),
+            minhash_edges(norm, cfg, attacher=attacher, sigs=sigs,
+                          sets_ref=sets_ref)),
         "simhash": lambda: _edges_only(
-            simhash_edges(norm, cfg, attacher=attacher, sigs=sigs)),
+            simhash_edges(norm, cfg, attacher=attacher, sigs=sigs,
+                          sets_ref=sets_ref)),
         "substring": lambda: _edges_only(
             substring_edges(norm, cfg, attacher=attacher)),
     }

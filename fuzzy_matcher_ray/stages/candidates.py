@@ -37,11 +37,13 @@ BROADCAST_KEYS_MAX = 20_000_000
 
 # duplicate-key row sets below this collect to the driver for the vectorized
 # segment explode; beyond it the sort-based distributed explode runs. Slim
-# key rows are ~24-32 B ⇒ 2M rows ≈ 64 MB driver RAM and a ~0.5 s serial
-# lexsort+explode — measured far below the distributed path's fixed
-# shuffle/barrier cost at this size; real 100 TB shards exceed the threshold
-# and take the distributed path.
-DRIVER_EXPLODE_MAX_ROWS = 2_000_000
+# key rows are ~24-32 B ⇒ 16M rows ≈ 512 MB driver RAM and a ~3 s serial
+# lexsort+explode — measured far below the distributed path's cost at this
+# size (each Ray groupby over ~2M rows costs ~18 s of fixed shuffle/agg
+# overhead on one node; the distributed path pays two). Real 100 TB shards
+# exceed the threshold and take the distributed path, where that cost
+# parallelizes across nodes.
+DRIVER_EXPLODE_MAX_ROWS = 16_000_000
 
 
 def _segment_explode(gk: np.ndarray, ids: np.ndarray, carries: dict,

@@ -15,10 +15,38 @@ import pyarrow as pa
 
 from fuzzy_matcher_ray.config import PipelineConfig
 from fuzzy_matcher_ray.functions.shingle import (
-    counts_to_offsets, segmented_intersection_counts, shingle_batch,
-    unique_per_doc)
+    _scratch_buf, counts_to_offsets, segmented_intersection_counts,
+    shingle_batch, unique_per_doc)
 from fuzzy_matcher_ray.functions.suffix import lcp_array, suffix_array
 from fuzzy_matcher_ray.stages.joins import attach_columns
+
+# docs per shingling chunk inside the verifiers: keeps every transient
+# buffer (rolling-hash scratch, gather output, per-chunk unique sets) under
+# ~10 MB so glibc serves them from the reusable heap instead of fresh mmaps
+# — this VM charges ~50x for first-touch of large fresh mappings, which
+# made whole-batch shingling (3×85 MB per 4096-pair batch) cost seconds.
+_SHINGLE_CHUNK_DOCS = 512
+
+
+def _chunked_unique_sets(uniq_texts: pa.Array, k: int, seed: int
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-unique shingle sets of ``uniq_texts``, computed in
+    doc chunks with a pooled destination buffer (no >10 MB fresh
+    allocation anywhere). Returns (uh view into the pool, uc)."""
+    n = len(uniq_texts)
+    uc = np.empty(n, dtype=np.int64)
+    # unique hashes per doc <= chars per doc ⇒ total text bytes is a bound
+    bound = max(int(uniq_texts.nbytes), 1)
+    dest = _scratch_buf("jaccard_uh", bound)
+    pos = 0
+    for lo in range(0, n, _SHINGLE_CHUNK_DOCS):
+        sl = uniq_texts.slice(lo, min(_SHINGLE_CHUNK_DOCS, n - lo))
+        h, c = shingle_batch(sl, k, seed)
+        uh_c, uc_c = unique_per_doc(h, c)
+        dest[pos: pos + len(uh_c)] = uh_c
+        uc[lo: lo + len(c)] = uc_c
+        pos += len(uh_c)
+    return dest[:pos], uc
 
 
 def attach_pair_texts(pairs, docs_norm, cfg: PipelineConfig,
@@ -84,6 +112,114 @@ class _TextFetcher:
         return self._fetched
 
 
+def _sets_chunks(tbl: pa.Table):
+    """Yield (ids_slice, offsets, values_chunk) per chunk of a sets block,
+    with offsets ABSOLUTE into the chunk's full child values array (pyarrow
+    list semantics), so no value buffer is ever sliced or copied."""
+    ids_t = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    col = tbl["sets"]
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    row = 0
+    for ch in chunks:
+        m = len(ch)
+        offs = ch.offsets.to_numpy(zero_copy_only=False)
+        yield ids_t[row: row + m], offs, ch
+        row += m
+
+
+def build_shingle_sets(norm, cfg: PipelineConfig, max_bytes: int = 4 << 30):
+    """ONE corpus-wide distributed pass computing every doc's sorted-unique
+    shingle set. The heavy hash values STAY in the plasma blocks the
+    ``map_batches`` tasks produced — the driver assembles only a slim
+    routing index (sorted doc_ids → block, start, count; ~28 B/doc) and the
+    Jaccard verify stages intersect pairs directly against the zero-copy
+    per-block plasma arrays: no per-batch re-shingling, no gathering, and
+    no driver-side copy of the multi-GB value buffer (first-touch faults on
+    fresh multi-GB mappings cost ~50x on shared VMs; plasma pages are
+    already backed and shared across all workers on the node).
+
+    Returns ``(routing_ref, block_refs)`` or None when the artifact would
+    exceed ``max_bytes`` (beyond that the per-batch chunked recompute path
+    in JaccardVerifier stays — at 100 TB the broadcast is one copy per
+    node, so the cap is a per-node memory budget, not a correctness limit).
+    """
+    import ray
+
+    try:
+        est = int(norm.size_bytes()) * 8      # ≤ 8 B/char of unique hashes
+    except Exception:
+        est = None
+    if est is not None and est > max_bytes:
+        return None
+
+    def _sets(t: pa.Table) -> pa.Table:
+        h, c = shingle_batch(t["norm_text"], cfg.shingle_k, cfg.seed)
+        uh, uc = unique_per_doc(h, c)
+        offs = counts_to_offsets(uc)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "sets": pa.LargeListArray.from_arrays(offs,
+                                                  pa.array(uh.view(np.int64))),
+        })
+
+    sets_ds = norm.select_columns(["doc_id", "norm_text"]) \
+                  .map_batches(_sets, batch_format="pyarrow").materialize()
+    block_refs = sets_ds.to_arrow_refs()
+    ids_parts, blk_parts, start_parts, cnt_parts = [], [], [], []
+    n_chunks = 0
+    total_bytes = 0
+    for ref in block_refs:
+        tbl = ray.get(ref)                    # zero-copy plasma view
+        for ids_c, offs, _ch in _sets_chunks(tbl):
+            m = len(ids_c)
+            if m == 0:
+                n_chunks += 1
+                continue
+            ids_parts.append(ids_c)
+            blk_parts.append(np.full(m, n_chunks, dtype=np.int32))
+            start_parts.append(offs[:-1])
+            cnt_parts.append(np.diff(offs))
+            total_bytes += int(offs[-1] - offs[0]) * 8
+            n_chunks += 1
+            if total_bytes > max_bytes:
+                return None                   # bound exceeded — fall back
+    if not ids_parts:
+        return None
+    ids = np.concatenate(ids_parts)
+    order = np.argsort(ids, kind="stable")
+    routing = (ids[order],
+               np.concatenate(blk_parts)[order],
+               np.concatenate(start_parts)[order],
+               np.concatenate(cnt_parts)[order])
+    return ray.put(routing), tuple(block_refs)
+
+
+def _intersect_block_sets(blocks, blk, starts, counts,
+                          ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """|set ∩ set| per pair over per-doc sets living in a LIST of zero-copy
+    plasma value arrays (doc d's set is blocks[blk[d]][starts[d]:
+    starts[d]+counts[d]]). Same small-into-big binary-search kernel as
+    :func:`segmented_intersection_counts` — the two sets stay in L1/L2."""
+    n = len(ia)
+    out = np.zeros(n, dtype=np.int64)
+    ss = np.searchsorted
+    ia_l, ib_l = ia.tolist(), ib.tolist()
+    for p in range(n):
+        da, db = ia_l[p], ib_l[p]
+        ca, cb = counts[da], counts[db]
+        if ca == 0 or cb == 0:
+            continue
+        if ca > cb:
+            da, db, ca, cb = db, da, cb, ca
+        sa, sb = starts[da], starts[db]
+        small = blocks[blk[da]][sa: sa + ca]
+        big = blocks[blk[db]][sb: sb + cb]
+        pos = ss(big, small)
+        np.minimum(pos, cb - 1, out=pos)
+        out[p] = np.count_nonzero(big[pos] == small)
+    return out
+
+
 class JaccardVerifier(_TextFetcher):
     """pairs (a, b[, text_a, text_b]) → (a, b, jaccard) for pairs ≥ threshold.
 
@@ -96,10 +232,26 @@ class JaccardVerifier(_TextFetcher):
     """
 
     def __init__(self, cfg: PipelineConfig, threshold: float | None = None,
-                 text_ref=None):
+                 text_ref=None, sets_ref=None):
         super().__init__(text_ref)
         self.cfg = cfg
         self.threshold = cfg.jaccard_threshold if threshold is None else threshold
+        self.sets_ref = sets_ref
+        self._sets = None
+
+    def _sets_artifact(self):
+        if self._sets is None:
+            import ray
+            routing_ref, block_refs = self.sets_ref
+            ids, blk, starts, counts = ray.get(routing_ref)
+            blocks = []
+            for ref in block_refs:              # zero-copy plasma views
+                for _ids, _offs, ch in _sets_chunks(ray.get(ref)):
+                    blocks.append(
+                        ch.values.to_numpy(zero_copy_only=False)
+                          .view(np.uint64))
+            self._sets = (ids, blk, starts, counts, blocks)
+        return self._sets
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -108,12 +260,32 @@ class JaccardVerifier(_TextFetcher):
                              "jaccard": pa.array([], pa.float64())})
         k, seed = self.cfg.shingle_k, self.cfg.seed
         n = len(batch)
-        inv, uniq_texts = _batch_unique_docs(batch, self.fetched())
-        uh, uc = unique_per_doc(*shingle_batch(uniq_texts, k, seed))
-        ia, ib = inv[:n], inv[n:]
-        ca, cb = uc[ia], uc[ib]
-        inter = segmented_intersection_counts(uh, uc, ia, ib)
-        union = ca + cb - inter
+        if self.sets_ref is not None:
+            # precomputed corpus shingle-set artifact: intersect directly
+            # against the zero-copy per-block plasma arrays — no shingling,
+            # no gathering, no copies
+            ids_sorted, blk, starts, counts, blocks = self._sets_artifact()
+            a = batch["a"].to_numpy(zero_copy_only=False)
+            b = batch["b"].to_numpy(zero_copy_only=False)
+            pa_idx = np.searchsorted(ids_sorted, a)
+            pb_idx = np.searchsorted(ids_sorted, b)
+            np.clip(pa_idx, 0, max(len(ids_sorted) - 1, 0), out=pa_idx)
+            np.clip(pb_idx, 0, max(len(ids_sorted) - 1, 0), out=pb_idx)
+            ok_a = ids_sorted[pa_idx] == a
+            ok_b = ids_sorted[pb_idx] == b
+            ca = np.where(ok_a, counts[pa_idx], 0)
+            cb = np.where(ok_b, counts[pb_idx], 0)
+            inter = _intersect_block_sets(blocks, blk, starts, counts,
+                                          pa_idx, pb_idx)
+            inter = np.where(ok_a & ok_b, inter, 0)
+            union = ca + cb - inter
+        else:
+            inv, uniq_texts = _batch_unique_docs(batch, self.fetched())
+            uh, uc = _chunked_unique_sets(uniq_texts, k, seed)
+            ia, ib = inv[:n], inv[n:]
+            ca, cb = uc[ia], uc[ib]
+            inter = segmented_intersection_counts(uh, uc, ia, ib)
+            union = ca + cb - inter
         both_empty = union == 0
         jac = np.where(both_empty, 1.0,
                        inter / np.maximum(union, 1))
@@ -306,8 +478,22 @@ class SubstringVerifier(_TextFetcher):
                 # past the tried-pairs budget) decides pairs whose Min-picked
                 # seed sits outside the longest shared run
                 if uh is None:
-                    uh, uc = shingle_batch(uniq_texts, probe,
-                                           cfg.seed ^ 0xD1CE)
+                    # chunked, pooled-destination shingling (same rationale
+                    # as _chunked_unique_sets; order preserved — positions
+                    # in the hash array are char offsets)
+                    n_u = len(uniq_texts)
+                    uc = np.empty(n_u, dtype=np.int64)
+                    dest = _scratch_buf("substr_ph",
+                                        max(int(uniq_texts.nbytes), 1))
+                    pos = 0
+                    for lo in range(0, n_u, _SHINGLE_CHUNK_DOCS):
+                        sl = uniq_texts.slice(
+                            lo, min(_SHINGLE_CHUNK_DOCS, n_u - lo))
+                        h, c = shingle_batch(sl, probe, cfg.seed ^ 0xD1CE)
+                        dest[pos: pos + len(h)] = h
+                        uc[lo: lo + len(c)] = c
+                        pos += len(h)
+                    uh = dest[:pos]
                     uoffs = counts_to_offsets(uc)
                 best = self._pair_common_len(
                     ta, tb, uh[uoffs[ua]: uoffs[ua + 1]],
