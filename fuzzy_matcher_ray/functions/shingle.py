@@ -131,6 +131,15 @@ def string_buffer(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarr
     offsets = offsets[arr.offset: arr.offset + len(arr) + 1]
     data = (np.frombuffer(data_buf, dtype=np.uint8)
             if data_buf is not None else np.empty(0, np.uint8))
+    # a SLICE of a larger array shares the parent's data buffer with nonzero
+    # first offset — trim to the slice's own span (and rebase offsets) so
+    # whole-buffer kernels (the rolling hash) scale with the slice, not the
+    # parent: chunked shingling of an N-doc pool was O(N·pool_bytes/chunk)
+    # before this trim
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    if lo != 0 or hi != data.size:
+        data = data[lo:hi]
+        offsets = offsets - lo
     return data, offsets
 
 
