@@ -291,12 +291,14 @@ def find_duplicates(docs, cfg: PipelineConfig | None = None,
         # corpus shingle-set artifact: the Jaccard verifies of both passes
         # intersect zero-copy against ONE plasma object instead of
         # re-shingling every batch's distinct docs (size-gated; None ⇒
-        # verifiers fall back to the text broadcast / join paths). Skipped
-        # when every consumer pass will resume from checkpoint.
+        # verifiers fall back to the text broadcast / join paths). Off by
+        # default — see config.use_shingle_set_artifact for the measured
+        # trade-off. Skipped when every consumer pass resumes from
+        # checkpoint.
         needs_verify = any(p in passes and not ck.has(f"edges_{p}")
                            for p in ("minhash", "simhash")) if ck.enabled \
             else True
-        if needs_verify:
+        if needs_verify and cfg.use_shingle_set_artifact:
             from fuzzy_matcher_ray.stages.verify import build_shingle_sets
             sets_ref = build_shingle_sets(norm, cfg)
     builders = {

@@ -505,13 +505,33 @@ def dedup_pairs(pairs, min_cols: list[str] | None = None, aggs=None):
 
     ``aggs``: optional list of ray.data.aggregate.* instances replacing the
     default Min-per-column aggregation.
+
+    Small pair sets (slim int64 rows below DRIVER_EXPLODE_MAX_ROWS) dedup
+    in one driver lexsort — a Ray hash groupby costs ~15 s of fixed
+    shuffle/agg overhead on this box regardless of size. The input is
+    materialized first either way (the groupby would execute it too); real
+    100 TB shards exceed the threshold and take the distributed groupby.
     """
     min_cols = min_cols or []
     if aggs:
         return pairs.groupby(["a", "b"]).aggregate(*aggs)
+    mat = pairs.materialize()
+    if mat.count() <= DRIVER_EXPLODE_MAX_ROWS:
+        import ray
+        import ray.data as rd
+        tbls = [tb for tb in (ray.get(r) for r in mat.to_arrow_refs())
+                if len(tb) > 0]
+        if not tbls:        # empty pair set (duplicate-free corpus)
+            return mat
+        t = pa.concat_tables(
+            [tb.select(["a", "b"] + min_cols) for tb in tbls]).combine_chunks()
+        out = _numpy_dedup_pairs(t, min_cols)
+        chunk = 65536
+        return rd.from_arrow(
+            [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)])
     if min_cols:
         from ray.data.aggregate import Min
         mins = [Min(c, alias_name=c, ignore_nulls=True) for c in min_cols]
-        return pairs.groupby(["a", "b"]).aggregate(*mins)
-    counted = pairs.groupby(["a", "b"]).count()
+        return mat.groupby(["a", "b"]).aggregate(*mins)
+    counted = mat.groupby(["a", "b"]).count()
     return counted.select_columns(["a", "b"])

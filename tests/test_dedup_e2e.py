@@ -232,3 +232,32 @@ def test_ttl_mode_flagship(ray_session):
     with pytest.raises(Exception) as ei:
         find_duplicates(rd.from_arrow(bad), cfg).to_pandas()
     assert "ttl_mode" in str(ei.value)
+
+
+def test_shingle_set_artifact_parity(corpus):
+    """The precomputed corpus shingle-set artifact (zero-copy plasma
+    intersection) must produce byte-identical verified edges to the
+    per-batch recompute fallback, and the flagship must accept the
+    config knob end-to-end."""
+    import dataclasses
+
+    from fuzzy_matcher_ray.pipelines import dedup as D
+    from fuzzy_matcher_ray.stages.normalize_stage import normalized_docs
+    from fuzzy_matcher_ray.stages.verify import build_shingle_sets
+    docs, _, _ = corpus
+    norm = normalized_docs(docs, CFG).materialize()
+    sigs = D.signature_table(norm, CFG).materialize()
+    sets_ref = build_shingle_sets(norm, CFG)
+    assert sets_ref is not None
+    base = D.minhash_edges(norm, CFG, sigs=sigs).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    art = D.minhash_edges(norm, CFG, sigs=sigs, sets_ref=sets_ref).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    assert base.equals(art), "artifact edges differ from recompute edges"
+    # e2e with the knob on matches the default pipeline
+    cfg_on = dataclasses.replace(CFG, use_shingle_set_artifact=True)
+    d_on = D.find_duplicates(docs, cfg_on).to_pandas()
+    d_off = D.find_duplicates(docs, CFG).to_pandas()
+    on = dict(zip(d_on.doc_id, d_on.cluster_id))
+    off = dict(zip(d_off.doc_id, d_off.cluster_id))
+    assert on == off
