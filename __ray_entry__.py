@@ -98,6 +98,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     codec formats remain honestly stubbed) ---
         "multimodal_decode": multimodal.decode_binary_docs,
         "multimodal_media_decode": multimodal.decode_media_docs,
+        # resize + frame-sample (real numpy kernels on the container-less
+        # formats; exact pytest oracles in tests/test_multimodal.py)
+        "multimodal_resize": multimodal.resize_media_docs,
+        "multimodal_frames": multimodal.frame_media_docs,
     }
 
 

@@ -116,3 +116,53 @@ def ppm_mean_luma(pixels: np.ndarray) -> float:
     p = pixels.astype(np.float64)
     return float(np.mean(0.299 * p[..., 0] + 0.587 * p[..., 1]
                          + 0.114 * p[..., 2]))
+
+
+def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize of (h, w, 3) uint8 pixels to (out_h, out_w, 3).
+
+    Pure numpy (integer center-sample index map — the standard
+    nearest-neighbor rule: src = floor((dst + 0.5) * scale)), deterministic,
+    no codec library. The real-deployment analogue swaps this for
+    PIL/libvips inside the same actor stage.
+    """
+    h, w, _ = pixels.shape
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize target must be positive")
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64),
+                    h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64),
+                    w - 1)
+    return pixels[ys[:, None], xs[None, :]]
+
+
+def fit_within(w: int, h: int, max_dim: int) -> tuple[int, int]:
+    """Aspect-preserving (out_w, out_h) with max(out) == max_dim (no
+    upscaling: inputs already within the box are returned unchanged)."""
+    if max(w, h) <= max_dim:
+        return w, h
+    if w >= h:
+        return max_dim, max(1, round(h * max_dim / w))
+    return max(1, round(w * max_dim / h)), max_dim
+
+
+def frame_windows(samples: np.ndarray, rate: int, win_ms: int = 25,
+                  hop_ms: int = 100) -> tuple[np.ndarray, np.ndarray]:
+    """Frame-sample mono int16 audio: windows of ``win_ms`` every ``hop_ms``.
+
+    Returns (t_ms, rms): per-frame start times and normalized RMS, both
+    float64. Vectorized — one strided gather, no Python loop over frames.
+    """
+    if samples.ndim > 1:                       # stereo → mean to mono
+        samples = samples.mean(axis=1)
+    win = max(1, int(rate * win_ms / 1000))
+    hop = max(1, int(rate * hop_ms / 1000))
+    n = samples.size
+    if n < win:
+        return np.empty(0), np.empty(0)
+    n_frames = 1 + (n - win) // hop
+    idx = np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None]
+    x = samples.astype(np.float64)[idx] / 32768.0
+    rms = np.sqrt(np.mean(x * x, axis=1))
+    t_ms = hop * np.arange(n_frames, dtype=np.float64) * 1000.0 / rate
+    return t_ms, rms

@@ -171,3 +171,136 @@ def decode_binary_docs(sf_dir: str):
                                 batch_format="pyarrow", batch_size=256,
                                 concurrency=(1, 4))
     return out.sort("doc_id")
+
+
+class ImageResizer:
+    """Actor-pool resize stage: PPM payload → resized PPM payload + dims.
+
+    REAL nearest-neighbor resize (functions/media.resize_nearest) for the
+    container-less format; codec formats (JPEG/PNG) would dispatch to
+    PIL/libvips here and stay honestly unknown in this sandbox. Non-image
+    and malformed payloads are dead-lettered (kind="error"/"skip"), never
+    crash the stage. Output payloads are re-encoded PPM so downstream
+    stages consume the same opaque-binary column shape they were given.
+    """
+
+    def __init__(self, max_dim: int = 32):
+        from fuzzy_matcher_ray.functions import media
+        self.media = media
+        self.max_dim = max_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.media
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        kinds, ws, hs, ows, ohs, outs = [], [], [], [], [], []
+        for b in payload:
+            buf = b.as_py() or b""
+            if not buf.startswith(m.PPM_MAGIC):
+                kinds.append("skip"); ws.append(None); hs.append(None)
+                ows.append(None); ohs.append(None); outs.append(None)
+                continue
+            try:
+                p = m.parse_ppm(buf)
+                ow, oh = m.fit_within(p["width"], p["height"], self.max_dim)
+                px = m.resize_nearest(p["pixels"], ow, oh)
+                kinds.append("ppm"); ws.append(p["width"]); hs.append(p["height"])
+                ows.append(ow); ohs.append(oh); outs.append(m.make_ppm(px))
+            except ValueError:
+                kinds.append("error"); ws.append(None); hs.append(None)
+                ows.append(None); ohs.append(None); outs.append(None)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "kind": pa.array(kinds, pa.string()),
+            "width": pa.array(ws, pa.int64()),
+            "height": pa.array(hs, pa.int64()),
+            "out_width": pa.array(ows, pa.int64()),
+            "out_height": pa.array(ohs, pa.int64()),
+            "payload_out": pa.array(outs, pa.binary()),
+        })
+
+
+class AudioFramer:
+    """Actor-pool frame-sampling stage: WAV payload → one row per sampled
+    frame (doc_id, frame_idx, t_ms, rms). The flat-map shape — a wide
+    binary row fans out to many slim typed rows — is the video
+    frame-extraction pattern with audio standing in for the codec-less
+    sandbox. Vectorized per payload (functions/media.frame_windows)."""
+
+    def __init__(self, win_ms: int = 25, hop_ms: int = 100):
+        from fuzzy_matcher_ray.functions import media
+        self.media = media
+        self.win_ms = win_ms
+        self.hop_ms = hop_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.media
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_id, out_fi, out_t, out_rms = [], [], [], []
+        for i, b in enumerate(payload):
+            buf = b.as_py() or b""
+            if not buf.startswith(m.WAV_MAGIC):
+                continue
+            try:
+                w = m.parse_wav(buf)
+            except ValueError:
+                continue
+            t_ms, rms = m.frame_windows(w["samples"], w["sample_rate"],
+                                        self.win_ms, self.hop_ms)
+            k = len(t_ms)
+            if k == 0:
+                continue
+            out_id.append(np.full(k, ids[i], dtype=np.int64))
+            out_fi.append(np.arange(k, dtype=np.int64))
+            out_t.append(t_ms)
+            out_rms.append(rms)
+        if not out_id:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "frame_idx": pa.array([], pa.int64()),
+                             "t_ms": pa.array([], pa.float64()),
+                             "rms": pa.array([], pa.float64())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_id)),
+            "frame_idx": pa.array(np.concatenate(out_fi)),
+            "t_ms": pa.array(np.concatenate(out_t)),
+            "rms": pa.array(np.concatenate(out_rms)),
+        })
+
+
+def _media_payload_ds(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _attach(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array([synth_media_payload(int(i)) for i in ids],
+                                pa.binary()),
+        })
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+def resize_media_docs(sf_dir: str, max_dim: int = 32):
+    """Resize pipeline over the synthesized media column (PPM docs resized
+    for real, WAV docs dead-lettered as kind="skip"). Output excludes the
+    binary payload (slim typed metadata only) sorted by doc_id."""
+    out = _media_payload_ds(sf_dir).map_batches(
+        ImageResizer, fn_constructor_args=(max_dim,),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+    return out.select_columns(["doc_id", "kind", "width", "height",
+                               "out_width", "out_height"]).sort("doc_id")
+
+
+def frame_media_docs(sf_dir: str, win_ms: int = 25, hop_ms: int = 100):
+    """Frame-sampling pipeline over the synthesized media column (WAV docs
+    fan out to per-frame rows; PPM docs contribute none). Sorted by
+    (doc_id, frame_idx)."""
+    out = _media_payload_ds(sf_dir).map_batches(
+        AudioFramer, fn_constructor_args=(win_ms, hop_ms),
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+    return out.sort(["doc_id", "frame_idx"])

@@ -77,3 +77,96 @@ def test_media_decoder_dead_letters(ray_session):
     assert kinds[1] == "error"        # malformed RIFF dead-lettered
     assert kinds[2] == "unknown"      # codec format honestly not decoded
     assert kinds[3] in ("error", "unknown")
+
+
+def test_resize_kernel_exact():
+    """Nearest-neighbor resize: exact index-map semantics, aspect fit."""
+    from fuzzy_matcher_ray.functions.media import fit_within, resize_nearest
+    px = np.arange(8 * 4 * 3, dtype=np.uint8).reshape(8, 4, 3)
+    r = resize_nearest(px, 2, 4)
+    assert r.shape == (4, 2, 3)
+    # center-sample rule: src_row = floor((dst+0.5)*8/4), src_col analog
+    ys = np.minimum(((np.arange(4) + 0.5) * 8 / 4).astype(int), 7)
+    xs = np.minimum(((np.arange(2) + 0.5) * 4 / 2).astype(int), 3)
+    assert (r == px[ys[:, None], xs[None, :]]).all()
+    assert fit_within(1920, 1080, 32) == (32, 18)
+    assert fit_within(10, 20, 32) == (10, 20)     # no upscale
+    with pytest.raises(ValueError):
+        resize_nearest(px, 0, 4)
+
+
+def test_frame_windows_exact():
+    """Frame sampling: exact frame count, times and RMS values."""
+    from fuzzy_matcher_ray.functions.media import frame_windows
+    rate = 8000
+    x = (np.sin(np.arange(4000) / 8) * 10000).astype(np.int16)
+    t_ms, rms = frame_windows(x, rate, win_ms=25, hop_ms=100)
+    win, hop = 200, 800
+    n_frames = 1 + (4000 - win) // hop
+    assert len(t_ms) == n_frames
+    assert t_ms[1] - t_ms[0] == pytest.approx(100.0)
+    xf = x[hop: hop + win].astype(np.float64) / 32768.0
+    assert rms[1] == pytest.approx(np.sqrt(np.mean(xf * xf)), abs=1e-12)
+    # shorter than one window -> no frames
+    t2, r2 = frame_windows(x[:100], rate, 25, 100)
+    assert len(t2) == 0 and len(r2) == 0
+
+
+def test_resize_pipeline(ray_session):
+    """ImageResizer actor stage over mixed WAV/PPM payloads: PPM rows get
+    real resized payloads (round-trip verified), WAV rows dead-letter as
+    kind=skip."""
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.pipelines.multimodal import (
+        ImageResizer, synth_media_payload)
+    ids = list(range(12))
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([synth_media_payload(i) for i in ids],
+                            pa.binary())})
+    out = rd.from_arrow(t).map_batches(
+        ImageResizer, fn_constructor_args=(16,), batch_format="pyarrow",
+        batch_size=8, concurrency=1).to_pandas().set_index("doc_id")
+    for i in ids:
+        row = out.loc[i]
+        if i % 2 == 0:                               # WAV
+            assert row.kind == "skip"
+        else:                                        # PPM, really resized
+            assert row.kind == "ppm"
+            p = media.parse_ppm(synth_media_payload(i))
+            ow, oh = media.fit_within(p["width"], p["height"], 16)
+            assert (row.out_width, row.out_height) == (ow, oh)
+            rp = media.parse_ppm(row.payload_out)
+            assert (rp["width"], rp["height"]) == (ow, oh)
+            exp = media.resize_nearest(p["pixels"], ow, oh)
+            assert (rp["pixels"] == exp).all()
+
+
+def test_frame_pipeline(ray_session):
+    """AudioFramer fan-out: WAV docs produce exact per-frame rows, PPM
+    docs none; frame RMS matches the kernel on the decoded samples."""
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.pipelines.multimodal import (
+        AudioFramer, synth_media_payload)
+    ids = list(range(8))
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "payload": pa.array([synth_media_payload(i) for i in ids],
+                            pa.binary())})
+    out = rd.from_arrow(t).map_batches(
+        AudioFramer, batch_format="pyarrow", batch_size=8,
+        concurrency=1).to_pandas()
+    assert set(out.doc_id) == {i for i in ids if i % 2 == 0 and len(
+        media.frame_windows(media.parse_wav(synth_media_payload(i))["samples"],
+                            media.parse_wav(synth_media_payload(i))["sample_rate"],
+                            25, 100)[0]) > 0}
+    for i in sorted(set(out.doc_id)):
+        w = media.parse_wav(synth_media_payload(i))
+        t_exp, rms_exp = media.frame_windows(w["samples"], w["sample_rate"],
+                                             25, 100)
+        g = out[out.doc_id == i].sort_values("frame_idx")
+        assert len(g) == len(t_exp)
+        assert np.allclose(g.t_ms.values, t_exp)
+        assert np.allclose(g.rms.values, rms_exp, atol=1e-12)
