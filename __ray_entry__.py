@@ -36,7 +36,7 @@ def _em_customers(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.pipelines import events as ev
-    from fuzzy_matcher_ray.pipelines import knn, multimodal, textops
+    from fuzzy_matcher_ray.pipelines import knn, multimodal, textops, webtext
     from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
     from fuzzy_matcher_ray.pipelines.fuzzy_query import fuzzy_topk_levenshtein
     from fuzzy_matcher_ray.sources.protocol import documents_source
@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_longest": textops.topk_longest,
         "docs_by_lang_source": textops.docs_by_lang_source,
         "ngram_jaccard_adjacent": textops.ngram_jaccard_adjacent,
+        # --- web-text sub-document dedup tier (SQL-checked) ---
+        "span_dedup": webtext.span_dedup,
         # --- mutation surface (SQL-checked) ---
         "remove_tombstoned": textops.remove_tombstoned,
         # --- events / streaming-shaped (SQL-checked) ---
@@ -224,6 +226,37 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
             SELECT query_id, neighbor_id, cosine FROM r WHERE rn <= 5
             ORDER BY query_id, cosine DESC, neighbor_id""",
+        "span_dedup": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents),
+            spans AS (
+              SELECT doc_id, (i-1)//10 AS ln,
+                     string_agg(w, ' ' ORDER BY i) AS line
+              FROM toks GROUP BY doc_id, (i-1)//10),
+            kept AS (
+              SELECT doc_id, ln, line FROM spans
+              QUALIFY row_number() OVER (PARTITION BY line
+                                         ORDER BY doc_id, ln) = 1)
+            SELECT doc_id, string_agg(line, ' ' ORDER BY ln) AS kept_text
+            FROM kept GROUP BY doc_id ORDER BY doc_id""",
+        "embedding_dup_clusters": """
+            WITH RECURSIVE
+            e AS (SELECT vec_id, embedding FROM embeddings),
+            p AS (SELECT a.vec_id AS a, b.vec_id AS b
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id
+                  WHERE floor(list_cosine_similarity(
+                            list_transform(a.embedding, x -> x::DOUBLE),
+                            list_transform(b.embedding, x -> x::DOUBLE))
+                        * 1e6 + 0.5) / 1e6 >= 0.4),
+            sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+            reach(n, m) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a)
+            SELECT n AS vec_id, min(m)::BIGINT AS cluster_id
+            FROM reach GROUP BY n ORDER BY n""",
         "embedding_dup_pairs": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings),
             s AS (SELECT a.vec_id AS a, b.vec_id AS b,

@@ -1,0 +1,83 @@
+"""Span/line dedup tier (pipelines/webtext) — planted-boilerplate oracle.
+
+The SQL-parity check for token-span mode lives in test_entry_contract
+(`span_dedup` oracle); here we pin the newline-line mode's semantics on a
+corpus with planted boilerplate, plus the explode kernel's invariants.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fuzzy_matcher_ray.pipelines.webtext import (SpanExploder, dedup_spans,
+                                                 line_dedup)
+
+BOILER = "cookie notice accept all"
+DOCS = [
+    (0, f"{BOILER}\nalpha unique first\ncommon footer"),
+    (1, f"{BOILER}\nbeta unique second\ncommon footer"),
+    (2, "gamma unique third"),
+    (3, f"{BOILER}\ncommon footer"),          # loses everything
+    (4, f"delta unique fourth\n{BOILER}"),
+]
+
+
+def _brute_line_dedup(docs):
+    """O(total lines) reference: keep each line at its first (doc, ln)."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(docs):
+        kept = []
+        for line in text.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            out[doc_id] = "\n".join(kept)
+    return out
+
+
+def test_line_dedup_planted_boilerplate(ray_session):
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in DOCS], pa.int64()),
+        "text": pa.array([t for _, t in DOCS]),
+    }))
+    got = {r["doc_id"]: r["kept_text"] for r in line_dedup(ds).take_all()}
+    assert got == _brute_line_dedup(DOCS)
+    # the fully-boilerplate doc is gone; first doc keeps everything
+    assert 3 not in got
+    assert got[0] == DOCS[0][1]
+
+
+def test_span_dedup_reconstructs_unique_docs(ray_session):
+    texts = [f"w{i}a w{i}b w{i}c w{i}d w{i}e" for i in range(20)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    out = {r["doc_id"]: r["kept_text"]
+           for r in dedup_spans(ds, span_tokens=3).take_all()}
+    assert out == dict(enumerate(texts))    # nothing shared -> identity
+
+
+@pytest.mark.parametrize("span_tokens,pattern", [(3, "\n"), (None, "\n")])
+def test_exploder_partitions_text(span_tokens, pattern):
+    """Explode invariants: spans tile each doc; joiner.join(spans) == text;
+    pack strictly increasing within a doc."""
+    texts = ["a b c d e f g", "", "x", "one two\nthree", "p q\n\nr"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    ex = SpanExploder(span_tokens, pattern)
+    out = ex(t)
+    ids = out["doc_id"].to_numpy()
+    ln = out["ln"].to_numpy()
+    lines = out["line"].to_pylist()
+    pack = out["pack"].to_numpy()
+    for d, text in enumerate(texts):
+        mask = ids == d
+        segs = [lines[i] for i in np.nonzero(mask)[0]]
+        assert ex.joiner.join(segs) == text
+        assert list(ln[mask]) == list(range(mask.sum()))
+        assert (np.diff(pack[mask]) > 0).all()
+    assert (pack == (ids.astype(np.int64) << 32 | ln)).all()
