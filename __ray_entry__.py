@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_adjacent": textops.ngram_jaccard_adjacent,
         # --- web-text sub-document dedup tier (SQL-checked) ---
         "span_dedup": webtext.span_dedup,
+        "decontaminate": webtext.decontaminate,
+        "top_ngrams": webtext.top_ngrams,
         # --- mutation surface (SQL-checked) ---
         "remove_tombstoned": textops.remove_tombstoned,
         # --- events / streaming-shaped (SQL-checked) ---
@@ -241,6 +243,32 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY doc_id, ln) = 1)
             SELECT doc_id, string_agg(line, ' ' ORDER BY ln) AS kept_text
             FROM kept GROUP BY doc_id ORDER BY doc_id""",
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents),
+            tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+                    FROM toks a
+                    JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                    JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            evalg AS (SELECT DISTINCT g FROM tri WHERE doc_id < 20),
+            hits AS (SELECT doc_id, count(*) AS h FROM tri
+                     WHERE doc_id >= 20 AND g IN (SELECT g FROM evalg)
+                     GROUP BY doc_id)
+            SELECT d.doc_id FROM documents d LEFT JOIN hits USING (doc_id)
+            WHERE d.doc_id >= 20 AND coalesce(hits.h, 0) < 5
+            ORDER BY d.doc_id""",
+        "top_ngrams": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents),
+            bi AS (SELECT a.w || ' ' || b.w AS gram
+                   FROM toks a
+                   JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1)
+            SELECT gram, count(*)::BIGINT AS n FROM bi
+            GROUP BY gram ORDER BY n DESC, gram LIMIT 20""",
         "embedding_dup_clusters": """
             WITH RECURSIVE
             e AS (SELECT vec_id, embedding FROM embeddings),

@@ -35,6 +35,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from fuzzy_matcher_ray.stages.joins import attach_columns
@@ -140,3 +141,93 @@ def line_dedup(docs):
     """(doc_id, kept_text) — newline-delimited exact line dedup (RefinedWeb
     boilerplate removal) over any (doc_id, text) Dataset."""
     return dedup_spans(docs, span_tokens=None, pattern="\n").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Token n-gram machinery (shared by decontamination + vocab counting)
+# ---------------------------------------------------------------------------
+
+def _token_ngrams(text: pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
+    """All positional token ``n``-grams of each text, fully vectorized.
+
+    Returns (gram strings, doc-index per gram). Gram j of doc i is tokens
+    [j, j+n) joined by ' '; docs with fewer than n tokens contribute none.
+    """
+    toks = pc.split_pattern(pc.fill_null(text, ""), " ")
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    v = toks.values
+    cnt = np.maximum(np.diff(offs) - (n - 1), 0)
+    total = int(cnt.sum())
+    doc_of = np.repeat(np.arange(len(cnt)), cnt)
+    first = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    j = np.arange(total, dtype=np.int64) - np.repeat(first, cnt)
+    base = offs[:-1][doc_of] + j
+    parts = [pc.take(v, pa.array(base + s)) for s in range(n)]
+    # last arg of binary_join_element_wise is the separator
+    grams = pc.binary_join_element_wise(*parts, " ") if n > 1 else parts[0]
+    return grams, doc_of
+
+
+def decontaminate(sf_dir: str, n_eval: int = 20, gram_n: int = 3,
+                  max_hits: int = 5):
+    """Benchmark decontamination: drop corpus docs overlapping the eval set.
+
+    The eval set is docs with doc_id < ``n_eval``; a corpus doc (doc_id >=
+    n_eval) is contaminated when >= ``max_hits`` of its positional token
+    ``gram_n``-grams appear anywhere in the eval set. Returns surviving
+    (doc_id), sorted — the standard pre-training hygiene op.
+
+    Shape: the eval gram set is tiny by construction (eval benchmarks are
+    KBs, corpora are TBs), so it is collected once and broadcast via
+    ``ray.put``; the corpus pass is one streaming ``map_batches`` with an
+    Arrow ``is_in`` membership kernel — no shuffle at all.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ev = ds.filter(expr=f"doc_id < {n_eval}")
+
+    def _grams(t: pa.Table) -> pa.Table:
+        g, _ = _token_ngrams(_as_array(t["text"]), gram_n)
+        return pa.table({"g": pc.unique(g)})
+
+    eval_tbl = pa.concat_tables(
+        ev.map_batches(_grams, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    eval_set = pc.unique(eval_tbl["g"].combine_chunks())
+    ref = ray.put(eval_set)
+
+    def _survivors(t: pa.Table) -> pa.Table:
+        ids = _as_array(t["doc_id"]).to_numpy(zero_copy_only=False)
+        keep_mask = ids >= n_eval
+        g, doc_of = _token_ngrams(_as_array(t["text"]), gram_n)
+        hit = pc.is_in(g, value_set=ray.get(ref)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = np.bincount(doc_of, weights=hit, minlength=len(ids))
+        keep_mask &= h < max_hits
+        return pa.table({"doc_id": pa.array(ids[keep_mask], pa.int64())})
+
+    return ds.map_batches(_survivors, batch_format="pyarrow").sort("doc_id")
+
+
+def top_ngrams(sf_dir: str, gram_n: int = 2, k: int = 20):
+    """(gram, n) — the ``k`` most frequent token ``gram_n``-grams corpus-wide
+    (vocab/BPE-seed counting). Deterministic order: count desc, gram asc.
+
+    Shape: per-batch PARTIAL counts (``np.unique`` inside ``map_batches`` —
+    the combiner) shrink the shuffle to distinct-grams-per-batch before the
+    global ``groupby(gram).sum``; the final sort+limit moves only the small
+    aggregated table.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g, _ = _token_ngrams(_as_array(t["text"]), gram_n)
+        vc = g.value_counts()
+        return pa.table({"gram": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby("gram").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "gram"], descending=[True, False]).limit(k)

@@ -10,8 +10,8 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from fuzzy_matcher_ray.pipelines.webtext import (SpanExploder, dedup_spans,
-                                                 line_dedup)
+from fuzzy_matcher_ray.pipelines.webtext import (SpanExploder, _token_ngrams,
+                                                 dedup_spans, line_dedup)
 
 BOILER = "cookie notice accept all"
 DOCS = [
@@ -59,6 +59,19 @@ def test_span_dedup_reconstructs_unique_docs(ray_session):
     out = {r["doc_id"]: r["kept_text"]
            for r in dedup_spans(ds, span_tokens=3).take_all()}
     assert out == dict(enumerate(texts))    # nothing shared -> identity
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_token_ngrams_brute(n):
+    texts = ["a b c d", "x", "", "p q", "one two three four five"]
+    grams, doc_of = _token_ngrams(pa.array(texts), n)
+    got = {}
+    for g, d in zip(grams.to_pylist(), doc_of):
+        got.setdefault(int(d), []).append(g)
+    for d, text in enumerate(texts):
+        toks = text.split(" ")
+        want = [" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)]
+        assert got.get(d, []) == want
 
 
 @pytest.mark.parametrize("span_tokens,pattern", [(3, "\n"), (None, "\n")])
