@@ -125,6 +125,15 @@ def run_bench() -> dict:
     user_hourly_windows(SF_DIR).count()
     queries["user_hourly_windows"] = round(time.perf_counter() - t0, 3)
 
+    from fuzzy_matcher_ray.pipelines import webtext
+    t0 = time.perf_counter()
+    webtext.span_dedup(SF_DIR).count()
+    queries["span_dedup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    webtext.top_ngrams(SF_DIR).count()
+    queries["top_ngrams"] = round(time.perf_counter() - t0, 3)
+
     from fuzzy_matcher_ray.pipelines.entity_match import match_customers
     t0 = time.perf_counter()
     match_customers(SF_DIR).count()

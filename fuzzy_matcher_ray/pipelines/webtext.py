@@ -111,7 +111,12 @@ def dedup_spans(docs, *, span_tokens: int | None = 10, pattern: str = "\n"):
 
     exploder = SpanExploder(span_tokens, pattern)
     ex = docs.map_batches(exploder, batch_format="pyarrow")
-    winners = ex.groupby("line").aggregate(Min("pack", alias_name="win"))
+    # materialize the aggregated winner table: the groupby is a barrier
+    # anyway, and both attach_columns' size probe and the join itself
+    # consume it — without this the explode+aggregate would execute twice.
+    winners = (ex.groupby("line")
+               .aggregate(Min("pack", alias_name="win"))
+               .materialize())
     kept = attach_columns(ex, winners, "line", "line", {"win": "win"},
                           how="inner")
     kept = kept.map_batches(_keep_winners, batch_format="pyarrow")
