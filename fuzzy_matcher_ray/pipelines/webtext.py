@@ -149,8 +149,51 @@ def line_dedup(docs):
 
 
 # ---------------------------------------------------------------------------
-# Token n-gram machinery (shared by decontamination + vocab counting)
+# URL-level ops (re-crawl collapse over the input_hint page schema)
 # ---------------------------------------------------------------------------
+
+def canonical_url(url: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Canonical form of a URL column, fully vectorized Arrow kernels:
+    lowercase, strip scheme + leading ``www.``, strip ``#fragment`` and
+    ``?query``, strip one trailing slash. ``http(s)://WWW.A.com/x/?u=1#f``
+    and ``https://a.com/x`` canonicalize identically."""
+    u = pc.utf8_lower(pc.fill_null(_as_array(url), ""))
+    u = pc.replace_substring_regex(u, r"^[a-z][a-z0-9+.-]*://", "")
+    u = pc.replace_substring_regex(u, r"^www\.", "")
+    u = pc.replace_substring_regex(u, r"[#?].*$", "")
+    return pc.replace_substring_regex(u, r"/$", "")
+
+
+def dedup_by_url(pages):
+    """Re-crawl collapse: one row per canonical URL — the LATEST crawl wins
+    (max ``warc_ts``; max ``doc_id`` tiebreak for identical timestamps).
+
+    Input: any Dataset carrying (doc_id, url, warc_ts). Returns the winning
+    (canon_url, doc_id). Winner selection is exact for full-range int64 ids:
+    one hash groupby finds each URL's max timestamp, a join-back filter keeps
+    only latest-crawl rows (ties included), and a second groupby over that
+    residue — at most a handful of rows per URL — breaks ties by max doc_id.
+    """
+    from ray.data.aggregate import Max
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table({"canon_url": canonical_url(t["url"]),
+                         "ts": pc.cast(_as_array(t["warc_ts"]), pa.int64()),
+                         "doc_id": pc.cast(_as_array(t["doc_id"]), pa.int64())})
+
+    prepped = pages.map_batches(_prep, batch_format="pyarrow")
+    latest = (prepped.groupby("canon_url")
+              .aggregate(Max("ts", alias_name="max_ts")).materialize())
+    tied = attach_columns(prepped, latest, "canon_url", "canon_url",
+                          {"max_ts": "max_ts"}, how="inner")
+
+    def _keep_latest(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t["ts"], t["max_ts"]))
+                .select(["canon_url", "doc_id"]))
+
+    tied = tied.map_batches(_keep_latest, batch_format="pyarrow")
+    return tied.groupby("canon_url").aggregate(Max("doc_id",
+                                                   alias_name="doc_id"))
 
 def _token_ngrams(text: pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
     """All positional token ``n``-grams of each text, fully vectorized.

@@ -11,6 +11,7 @@ import pytest
 import ray.data as rd
 
 from fuzzy_matcher_ray.pipelines.webtext import (SpanExploder, _token_ngrams,
+                                                 canonical_url, dedup_by_url,
                                                  dedup_spans, line_dedup)
 
 BOILER = "cookie notice accept all"
@@ -59,6 +60,39 @@ def test_span_dedup_reconstructs_unique_docs(ray_session):
     out = {r["doc_id"]: r["kept_text"]
            for r in dedup_spans(ds, span_tokens=3).take_all()}
     assert out == dict(enumerate(texts))    # nothing shared -> identity
+
+
+def test_canonical_url_kernel():
+    cases = {
+        "https://WWW.Example.com/Path/?utm=1#frag": "example.com/path",
+        "http://example.com/path": "example.com/path",
+        "example.com/path/": "example.com/path",
+        "https://sub.example.com/a/b": "sub.example.com/a/b",
+        "HTTPS://example.com": "example.com",
+        "": "",
+    }
+    got = canonical_url(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
+
+
+def test_dedup_by_url_latest_crawl_wins(ray_session):
+    big = 3 << 40                                    # ids beyond 32 bits
+    rows = [  # (doc_id, url, ts_us)
+        (big + 1, "https://a.com/x", 100),
+        (big + 2, "http://www.A.com/x/", 300),       # same canon, latest
+        (big + 3, "https://a.com/x?utm=2", 200),
+        (5, "https://b.com", 50),
+        (9, "https://b.com/", 50),                   # ts tie -> max doc_id
+        (7, "https://c.com/only", 10),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "url": pa.array([r[1] for r in rows]),
+        "warc_ts": pa.array([r[2] for r in rows],
+                            pa.timestamp("us")),
+    }))
+    got = {r["canon_url"]: r["doc_id"] for r in dedup_by_url(ds).take_all()}
+    assert got == {"a.com/x": big + 2, "b.com": 9, "c.com/only": 7}
 
 
 @pytest.mark.parametrize("n", [1, 2, 3])
