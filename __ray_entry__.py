@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_dedup": webtext.span_dedup,
         "decontaminate": webtext.decontaminate,
         "top_ngrams": webtext.top_ngrams,
+        "repetition_scores": webtext.repetition_scores,
+        "quality_filter": webtext.quality_filter,
         # --- mutation surface (SQL-checked) ---
         "remove_tombstoned": textops.remove_tombstoned,
         # --- events / streaming-shaped (SQL-checked) ---
@@ -243,6 +245,35 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY doc_id, ln) = 1)
             SELECT doc_id, string_agg(line, ' ' ORDER BY ln) AS kept_text
             FROM kept GROUP BY doc_id ORDER BY doc_id""",
+        "repetition_scores": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents),
+            bi AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+                   FROM toks a
+                   JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+            c AS (SELECT doc_id, count(*)::BIGINT AS n,
+                         count(distinct g)::BIGINT AS nd
+                  FROM bi GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(c.n, 0)::BIGINT AS n_bigrams,
+                   coalesce(c.nd, 0)::BIGINT AS n_distinct
+            FROM documents d LEFT JOIN c USING (doc_id)
+            ORDER BY d.doc_id""",
+        "quality_filter": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents),
+            bi AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+                   FROM toks a
+                   JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+            c AS (SELECT doc_id, count(*) - count(distinct g) AS dups
+                  FROM bi GROUP BY doc_id)
+            SELECT d.doc_id FROM documents d LEFT JOIN c USING (doc_id)
+            WHERE ({_NTOK}) >= 5 AND ({_STOP_HITS}) >= 1
+              AND coalesce(c.dups, 0) <= 8
+            ORDER BY d.doc_id""".format(_NTOK=_NTOK, _STOP_HITS=_STOP_HITS),
         "decontaminate": """
             WITH toks AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS w,

@@ -257,6 +257,67 @@ def decontaminate(sf_dir: str, n_eval: int = 20, gram_n: int = 3,
     return ds.map_batches(_survivors, batch_format="pyarrow").sort("doc_id")
 
 
+def _bigram_counts(text: pa.Array, n_rows: int,
+                   gram_n: int = 2) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row (total, distinct) positional ``gram_n``-gram counts — the
+    within-doc repetition signal (Gopher duplicate-n-gram rule). Batch-local
+    Arrow group_by; correct globally because each doc lives in one row."""
+    g, doc_of = _token_ngrams(text, gram_n)
+    n = np.zeros(n_rows, np.int64)
+    nd = np.zeros(n_rows, np.int64)
+    if len(g):
+        agg = (pa.table({"d": pa.array(doc_of), "g": g})
+               .group_by("d")
+               .aggregate([("g", "count"), ("g", "count_distinct")]))
+        d = agg["d"].to_numpy(zero_copy_only=False)
+        n[d] = agg["g_count"].to_numpy(zero_copy_only=False)
+        nd[d] = agg["g_count_distinct"].to_numpy(zero_copy_only=False)
+    return n, nd
+
+
+def repetition_scores(sf_dir: str):
+    """(doc_id, n_bigrams, n_distinct) — within-doc repetition counters
+    (n_bigrams - n_distinct = duplicated positional bigrams). Pure
+    streaming map, no shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        n, nd = _bigram_counts(_as_array(t["text"]), len(t))
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bigrams": pa.array(n),
+                         "n_distinct": pa.array(nd)})
+
+    return ds.map_batches(_f, batch_format="pyarrow").sort("doc_id")
+
+
+def quality_filter(sf_dir: str, min_tokens: int = 5, min_stop_hits: int = 1,
+                   max_dup_bigrams: int = 8):
+    """Gopher-style document gate: keep docs with >= ``min_tokens``
+    whitespace tokens, >= ``min_stop_hits`` stopword hits (language
+    signal), and <= ``max_dup_bigrams`` duplicated positional bigrams
+    (repetition signal). Returns surviving (doc_id), sorted. One
+    streaming map over existing Arrow kernels — no shuffle."""
+    from fuzzy_matcher_ray.functions.textstats import (stopword_hits,
+                                                       token_count)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        text = _as_array(t["text"])
+        toks = token_count(text).to_numpy(zero_copy_only=False)
+        stops = stopword_hits(text).to_numpy(zero_copy_only=False)
+        n, nd = _bigram_counts(text, len(t))
+        keep = ((toks >= min_tokens) & (stops >= min_stop_hits)
+                & ((n - nd) <= max_dup_bigrams))
+        return pa.table({"doc_id": pc.cast(_as_array(t["doc_id"]),
+                                           pa.int64())}).filter(
+                                               pa.array(keep))
+
+    return ds.map_batches(_f, batch_format="pyarrow").sort("doc_id")
+
+
 def top_ngrams(sf_dir: str, gram_n: int = 2, k: int = 20):
     """(gram, n) — the ``k`` most frequent token ``gram_n``-grams corpus-wide
     (vocab/BPE-seed counting). Deterministic order: count desc, gram asc.
