@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": webtext.top_ngrams,
         "repetition_scores": webtext.repetition_scores,
         "quality_filter": webtext.quality_filter,
+        "sample_stratified": textops.sample_stratified,
+        "topk_per_source": textops.topk_per_source,
         # --- mutation surface (SQL-checked) ---
         "remove_tombstoned": textops.remove_tombstoned,
         # --- events / streaming-shaped (SQL-checked) ---
@@ -245,6 +247,18 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY doc_id, ln) = 1)
             SELECT doc_id, string_agg(line, ' ' ORDER BY ln) AS kept_text
             FROM kept GROUP BY doc_id ORDER BY doc_id""",
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * 2654435761) % 1000000007 % 10
+                  < CASE WHEN lang = 'en' THEN 3 ELSE 1 END
+            ORDER BY doc_id""",
+        "topk_per_source": """
+            SELECT source, doc_id, n_chars FROM (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn <= 3
+            ORDER BY source, n_chars DESC, doc_id""",
         "repetition_scores": """
             WITH toks AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS w,

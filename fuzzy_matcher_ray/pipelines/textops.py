@@ -153,6 +153,60 @@ def ngram_jaccard_adjacent(sf_dir: str, k: int = 5):
     return ver.map_batches(_round, batch_format="pyarrow").sort(["a", "b"])
 
 
+def sample_stratified(sf_dir: str, en_keep: int = 3, other_keep: int = 1,
+                      buckets: int = 10):
+    """Deterministic stratified sampling for data mixing: keep
+    ``en_keep``/``buckets`` of docs whose lang is 'en' and
+    ``other_keep``/``buckets`` of the rest, chosen by a pure function of
+    doc_id (Knuth multiplicative hash mod a prime) so the sample is stable
+    across runs/partitionings and needs NO shuffle. Returns (doc_id, lang).
+
+    At 100 TB this is the pattern for split/mixture construction: the hash
+    decision rides inside the streaming read, nothing moves.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        # doc_id < 2^31 keeps the product exact in int64 (no wrap) so the
+        # SQL oracle's non-wrapping BIGINT arithmetic agrees bit-for-bit.
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (ids * 2654435761) % 1000000007 % buckets
+        is_en = pc.equal(t["lang"], pa.scalar("en")).to_numpy(
+            zero_copy_only=False)
+        keep = bucket < np.where(is_en, en_keep, other_keep)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_f, batch_format="pyarrow").sort("doc_id")
+
+
+def topk_per_source(sf_dir: str, k: int = 3):
+    """(source, doc_id, n_chars) — the k longest docs per source
+    (window-function shape). Per-batch PARTIAL top-k first (each batch
+    forwards at most k rows per source), then a tiny per-group merge —
+    the full table never shuffles.
+    """
+    import pandas as pd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "doc_id", "n_chars"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        return df.groupby("source", sort=False).head(k)
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return df.head(k)
+
+    out = partials.groupby("source").map_groups(_merge, batch_format="pandas")
+    return out.sort(["source", "n_chars", "doc_id"],
+                    descending=[False, True, False])
+
+
 def fingerprint_counts(sf_dir: str, cfg: PipelineConfig | None = None):
     """(doc_id, n_fingerprints) — winnowed fingerprint cardinality per doc
     (rolling-hash document fingerprinting; no SQL oracle)."""
