@@ -108,6 +108,42 @@ def test_token_ngrams_brute(n):
         assert got.get(d, []) == want
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _texts = st.lists(st.text(alphabet=" \nabc", max_size=40), min_size=1,
+                      max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(_texts, st.integers(1, 4))
+    def test_exploder_roundtrip_property(texts, w):
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts)})
+        for ex in (SpanExploder(w, "\n"), SpanExploder(None, "\n")):
+            out = ex(t)
+            ids = out["doc_id"].to_numpy()
+            lines = out["line"].to_pylist()
+            for d, text in enumerate(texts):
+                segs = [lines[i] for i in np.nonzero(ids == d)[0]]
+                assert ex.joiner.join(segs) == text
+
+    @settings(max_examples=60, deadline=None)
+    @given(_texts, st.integers(1, 4))
+    def test_token_ngrams_property(texts, n):
+        grams, doc_of = _token_ngrams(pa.array(texts), n)
+        by_doc = {}
+        for g, d in zip(grams.to_pylist(), doc_of):
+            by_doc.setdefault(int(d), []).append(g)
+        for d, text in enumerate(texts):
+            toks = text.split(" ")
+            want = [" ".join(toks[j:j + n])
+                    for j in range(len(toks) - n + 1)]
+            assert by_doc.get(d, []) == want
+except ImportError:                                    # pragma: no cover
+    pass
+
+
 @pytest.mark.parametrize("span_tokens,pattern", [(3, "\n"), (None, "\n")])
 def test_exploder_partitions_text(span_tokens, pattern):
     """Explode invariants: spans tile each doc; joiner.join(spans) == text;
