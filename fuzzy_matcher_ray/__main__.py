@@ -1,0 +1,137 @@
+"""``ray job submit``-compatible CLI (north-rule operational surface):
+
+    ray job submit -- python -m fuzzy_matcher_ray dedup \
+        --input /data/pages.parquet --output /data/run1/clusters \
+        --checkpoint /data/run1/ck --source webpages
+
+Subcommands map 1:1 onto the library pipelines; the process owns the Ray
+session (the library never calls ray.init). Each run prints ONE JSON line
+of metrics (rows, wall, docs/sec) to stdout for job-log scraping.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:                      # on a real cluster leave unset —
+            kwargs["num_cpus"] = num_cpus  # the cluster defines resources
+        ray.init(address="local" if num_cpus else None, **kwargs)
+    import logging
+
+    from ray.data import DataContext
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    DataContext.get_current().enable_progress_bars = False
+
+
+def _source(kind: str, path: str):
+    from fuzzy_matcher_ray.sources.protocol import (documents_source,
+                                                    webpages_source)
+    if kind == "webpages":
+        return webpages_source(path)
+    if kind == "documents":
+        return documents_source(path)
+    raise SystemExit(f"unknown --source {kind!r} (webpages|documents)")
+
+
+def cmd_dedup(args) -> dict:
+    from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
+    from fuzzy_matcher_ray.state.checkpoint import Checkpointer
+
+    cfg = PipelineConfig()
+    # lineage key = config x input: a checkpoint dir reused against a
+    # different input must rebuild, not silently resume the old run's data
+    ck = (Checkpointer(args.checkpoint,
+                       f"{cfg.config_hash()}:{args.source}:{args.input}")
+          if args.checkpoint else None)
+    docs = _source(args.source, args.input)
+    passes = tuple(args.passes.split(","))
+    t0 = time.perf_counter()
+    out = find_duplicates(docs, cfg, checkpointer=ck, passes=passes)
+    out.write_parquet(args.output)
+    wall = time.perf_counter() - t0
+    n = out.count()
+    return {"job": "dedup", "rows": n, "sec": round(wall, 3),
+            "docs_per_sec": round(n / wall, 1) if wall else None,
+            "passes": list(passes), "output": args.output,
+            "resumed_stages": [s for s, m in ck.metrics.items()
+                               if m.get("resumed")] if ck else []}
+
+
+def cmd_span_dedup(args) -> dict:
+    from fuzzy_matcher_ray.pipelines.webtext import dedup_spans
+
+    docs = _source(args.source, args.input).select_columns(
+        ["doc_id", "text"])
+    t0 = time.perf_counter()
+    out = (dedup_spans(docs, span_tokens=None, pattern="\n")
+           if args.mode == "line"
+           else dedup_spans(docs, span_tokens=args.span_tokens))
+    out.write_parquet(args.output)
+    wall = time.perf_counter() - t0
+    n = out.count()
+    return {"job": f"{args.mode}_dedup", "rows": n, "sec": round(wall, 3),
+            "output": args.output}
+
+
+def cmd_url_dedup(args) -> dict:
+    from fuzzy_matcher_ray.pipelines.webtext import dedup_by_url
+
+    docs = _source(args.source, args.input)
+    t0 = time.perf_counter()
+    out = dedup_by_url(docs)
+    out.write_parquet(args.output)
+    wall = time.perf_counter() - t0
+    n = out.count()
+    return {"job": "url_dedup", "rows": n, "sec": round(wall, 3),
+            "output": args.output}
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="python -m fuzzy_matcher_ray")
+    p.add_argument("--num-cpus", type=int, default=None,
+                   help="local-mode CPU cap; omit on a real cluster")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("dedup", help="flagship near-dup clustering")
+    d.add_argument("--input", required=True)
+    d.add_argument("--output", required=True)
+    d.add_argument("--checkpoint", default=None)
+    d.add_argument("--source", default="webpages")
+    d.add_argument("--passes", default="exact,minhash,simhash,substring")
+    d.set_defaults(fn=cmd_dedup)
+
+    s = sub.add_parser("span-dedup", help="sub-document span/line dedup")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+    s.add_argument("--source", default="webpages")
+    s.add_argument("--mode", choices=["span", "line"], default="span")
+    s.add_argument("--span-tokens", type=int, default=10)
+    s.set_defaults(fn=cmd_span_dedup)
+
+    u = sub.add_parser("url-dedup", help="canonical-URL re-crawl collapse")
+    u.add_argument("--input", required=True)
+    u.add_argument("--output", required=True)
+    u.add_argument("--source", default="webpages")
+    u.set_defaults(fn=cmd_url_dedup)
+
+    args = p.parse_args(argv)
+    _init_ray(args.num_cpus)
+    try:
+        print(json.dumps(args.fn(args)))
+    finally:
+        import ray
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

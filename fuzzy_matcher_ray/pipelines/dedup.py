@@ -322,16 +322,19 @@ def find_duplicates(docs, cfg: PipelineConfig | None = None,
     from concurrent.futures import ThreadPoolExecutor
     wanted = [p for p in ("exact", "minhash", "simhash", "substring")
               if p in passes]
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
     with ThreadPoolExecutor(max_workers=len(wanted)) as pool:
         futs = {p: pool.submit(
             lambda p=p: ck.stage(f"edges_{p}", builders[p],
-                                 materialize_if_disabled=False))
+                                 materialize_if_disabled=False,
+                                 empty_schema=edge_schema))
                 for p in wanted}
         edge_sets = [futs[p].result() for p in wanted]
     edges = edge_sets[0]
     for e in edge_sets[1:]:
         edges = edges.union(e)
-    edges = ck.stage("edges_all", lambda: dedup_pairs(edges))
+    edges = ck.stage("edges_all", lambda: dedup_pairs(edges),
+                     empty_schema=edge_schema)
     clusters = ck.stage(
         "clusters",
         lambda: cluster_edges(edges, norm.select_columns(["doc_id"]), cfg,

@@ -168,17 +168,21 @@ def dedup_by_url(pages):
     """Re-crawl collapse: one row per canonical URL — the LATEST crawl wins
     (max ``warc_ts``; max ``doc_id`` tiebreak for identical timestamps).
 
-    Input: any Dataset carrying (doc_id, url, warc_ts). Returns the winning
+    Input: any Dataset carrying (doc_id, url[, warc_ts]). Returns the winning
     (canon_url, doc_id). Winner selection is exact for full-range int64 ids:
     one hash groupby finds each URL's max timestamp, a join-back filter keeps
     only latest-crawl rows (ties included), and a second groupby over that
     residue — at most a handful of rows per URL — breaks ties by max doc_id.
+    Without a ``warc_ts`` column every row ties at ts=0 and max doc_id wins.
     """
     from ray.data.aggregate import Max
 
     def _prep(t: pa.Table) -> pa.Table:
+        ts = (pc.cast(_as_array(t["warc_ts"]), pa.int64())
+              if "warc_ts" in t.schema.names
+              else pa.nulls(len(t), pa.int64()).fill_null(0))
         return pa.table({"canon_url": canonical_url(t["url"]),
-                         "ts": pc.cast(_as_array(t["warc_ts"]), pa.int64()),
+                         "ts": ts,
                          "doc_id": pc.cast(_as_array(t["doc_id"]), pa.int64())})
 
     prepped = pages.map_batches(_prep, batch_format="pyarrow")

@@ -48,8 +48,13 @@ class Checkpointer:
         except (json.JSONDecodeError, OSError):
             return False
 
-    def stage(self, name: str, build_fn, materialize_if_disabled: bool = True):
-        """Return the stage dataset, from checkpoint if valid, else build+write."""
+    def stage(self, name: str, build_fn, materialize_if_disabled: bool = True,
+              empty_schema=None):
+        """Return the stage dataset, from checkpoint if valid, else build+write.
+
+        ``empty_schema``: pyarrow schema to pin when the stage output is a
+        zero-block dataset whose schema Ray cannot derive (e.g. an empty
+        edge set on a duplicate-free corpus)."""
         if not self.enabled:
             ds = build_fn()
             # multiple downstream consumers → pin blocks instead of recompute
@@ -62,7 +67,7 @@ class Checkpointer:
         ds = build_fn()
         tmp = os.path.join(self.root, name, f".tmp-{uuid.uuid4().hex[:8]}")
         os.makedirs(os.path.dirname(tmp), exist_ok=True)
-        ds.write_parquet(tmp)
+        _write_parquet_nonempty(ds, tmp, empty_schema)
         if os.path.isdir(data_dir):
             shutil.rmtree(data_dir)
         os.replace(tmp, data_dir)
@@ -76,6 +81,26 @@ class Checkpointer:
             json.dump(m, f, indent=2)
         self.metrics[name] = m
         return out
+
+
+def _write_parquet_nonempty(ds, path: str, empty_schema=None) -> None:
+    """``write_parquet`` that survives zero-block datasets.
+
+    A zero-row Dataset writes no files (sometimes not even the directory),
+    which breaks the atomic tmp→rename and a later ``read_parquet``. Pin the
+    schema with one explicit empty part file instead — an empty edge set
+    (duplicate-free corpus) must checkpoint and resume like any other stage.
+    """
+    ds.write_parquet(path)
+    if not os.path.isdir(path) or not os.listdir(path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        sch = ds.schema()
+        arrow_sch = (sch.base_schema if sch is not None else None) \
+            or empty_schema or pa.schema([])
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(arrow_sch.empty_table(),
+                       os.path.join(path, "part-empty.parquet"))
 
 
 def write_atomic(ds, out_dir: str, partition_label: str | None = None) -> str:
@@ -92,7 +117,7 @@ def write_atomic(ds, out_dir: str, partition_label: str | None = None) -> str:
     parent = os.path.dirname(target.rstrip("/")) or "."
     os.makedirs(parent, exist_ok=True)
     tmp = os.path.join(parent, f".tmp-{uuid.uuid4().hex[:8]}")
-    ds.write_parquet(tmp)
+    _write_parquet_nonempty(ds, tmp)
     if os.path.isdir(target):
         shutil.rmtree(target)
     os.replace(tmp, target)

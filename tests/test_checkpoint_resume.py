@@ -72,3 +72,34 @@ def test_config_change_invalidates(docs, tmp_path):
     assert cfg1.config_hash() != cfg2.config_hash()
     _, ck2 = _run(docs, root, cfg2)
     assert all(not m.get("resumed") for m in ck2.metrics.values())
+
+
+def test_empty_stage_checkpoints_and_resumes(ray_session, tmp_path):
+    """A zero-row stage (e.g. a duplicate-free corpus's edge set) must
+    write a schema-pinning empty checkpoint and resume from it — the
+    pre-fix behavior was FileNotFoundError on the atomic tmp->rename."""
+    import ray.data as rd
+
+    empty = rd.from_arrow(pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}))
+    ck = Checkpointer(str(tmp_path / "ck"), "h1")
+    out = ck.stage("edges_exact", lambda: empty)
+    assert out.count() == 0
+    assert out.schema().names == ["id_a", "id_b"]
+    # resume round-trips the empty stage with the schema intact
+    ck2 = Checkpointer(str(tmp_path / "ck"), "h1")
+    out2 = ck2.stage("edges_exact", lambda: (_ for _ in ()).throw(
+        AssertionError("must resume, not rebuild")))
+    assert out2.count() == 0
+    assert out2.schema().names == ["id_a", "id_b"]
+
+
+def test_write_atomic_empty(ray_session, tmp_path):
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.state.checkpoint import write_atomic
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    target = write_atomic(empty, str(tmp_path / "out"))
+    got = rd.read_parquet(target)
+    assert got.count() == 0 and got.schema().names == ["x"]

@@ -1,0 +1,40 @@
+"""CLI smoke tests (``python -m fuzzy_matcher_ray``) — the north rule's
+``ray job submit`` operational surface. Runs in a subprocess because the CLI
+owns its own Ray session (the library never calls ray.init)."""
+
+import json
+import os
+import subprocess
+import sys
+
+SF = os.environ.get("GRAFT_SF_SMOKE", "/root/testdata/sf0.001")
+
+
+def _run_cli(*argv: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-m", "fuzzy_matcher_ray", "--num-cpus", "2", *argv],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    # metrics are the ONE JSON line on stdout (job-log scraping contract)
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert len(lines) == 1, proc.stdout[-2000:]
+    return json.loads(lines[0])
+
+
+def test_cli_url_dedup(tmp_path):
+    m = _run_cli("url-dedup", "--input", SF, "--source", "documents",
+                 "--output", str(tmp_path / "out"))
+    assert m["job"] == "url_dedup" and m["rows"] > 0
+    assert (tmp_path / "out").is_dir()
+
+
+def test_cli_dedup_fresh_then_resume(tmp_path):
+    args = ("dedup", "--input", SF, "--source", "documents",
+            "--checkpoint", str(tmp_path / "ck"),
+            "--output", str(tmp_path / "clusters"))
+    m1 = _run_cli(*args)
+    assert m1["rows"] > 0 and m1["resumed_stages"] == []
+    m2 = _run_cli(*args)
+    assert m2["rows"] == m1["rows"]
+    assert "clusters" in m2["resumed_stages"]
