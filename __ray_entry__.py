@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_adjacent": textops.ngram_jaccard_adjacent,
         # --- web-text sub-document dedup tier (SQL-checked) ---
         "span_dedup": webtext.span_dedup,
+        "url_collapse": webtext.url_collapse,
         "decontaminate": webtext.decontaminate,
         "top_ngrams": webtext.top_ngrams,
         "repetition_scores": webtext.repetition_scores,
@@ -247,6 +248,31 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY doc_id, ln) = 1)
             SELECT doc_id, string_agg(line, ' ' ORDER BY ln) AS kept_text
             FROM kept GROUP BY doc_id ORDER BY doc_id""",
+        "url_collapse": """
+            WITH u AS (
+              SELECT doc_id,
+                CASE doc_id % 4
+                  WHEN 0 THEN 'https://example.com/'
+                  WHEN 1 THEN 'HTTP://WWW.EXAMPLE.COM/'
+                  WHEN 2 THEN 'https://example.com/'
+                  ELSE 'https://www.example.com/' END
+                || source || '/' || (doc_id % 97)
+                || CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/'
+                     WHEN 2 THEN '?utm=1' ELSE '#frag' END AS url
+              FROM documents),
+            c AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(lower(url),
+                        '^[a-z][a-z0-9+.-]*://', ''),
+                      '^www\\.', ''),
+                    '[#?].*$', ''),
+                  '/$', '') AS canon_url
+              FROM u)
+            SELECT canon_url, max(doc_id) AS doc_id
+            FROM c GROUP BY canon_url ORDER BY canon_url""",
         "sample_stratified": """
             SELECT doc_id, lang FROM documents
             WHERE (doc_id * 2654435761) % 1000000007 % 10

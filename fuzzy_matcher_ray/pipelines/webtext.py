@@ -199,6 +199,36 @@ def dedup_by_url(pages):
     return tied.groupby("canon_url").aggregate(Max("doc_id",
                                                    alias_name="doc_id"))
 
+
+def url_collapse(sf_dir: str):
+    """(canon_url, doc_id) — re-crawl collapse, SQL-checked.
+
+    The documents table carries no URL column, so messy crawl URLs are
+    synthesized deterministically per row (four scheme/www/query/fragment
+    variants over a ``doc_id % 97`` page key — many doc_ids per canonical
+    URL); the DuckDB oracle rebuilds the same strings and canonicalization
+    with string/regexp functions. Winner = max doc_id per canonical URL
+    (no warc_ts ⇒ every row ties at ts=0)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+
+    PRE = np.array(["https://example.com/", "HTTP://WWW.EXAMPLE.COM/",
+                    "https://example.com/", "https://www.example.com/"])
+    POST = np.array(["", "/", "?utm=1", "#frag"])
+
+    def _mk_url(t: pa.Table) -> pa.Table:
+        did = _as_array(t["doc_id"])
+        ids = did.to_numpy(zero_copy_only=False)
+        v = ids % 4
+        page = pa.array((ids % 97).astype("U"))
+        base = pc.binary_join_element_wise(_as_array(t["source"]), page, "/")
+        url = pc.binary_join_element_wise(
+            pa.array(PRE[v]), base, pa.array(POST[v]), "")
+        return pa.table({"doc_id": did, "url": url})
+
+    return dedup_by_url(docs.map_batches(_mk_url, batch_format="pyarrow")) \
+        .sort("canon_url")
+
 def _token_ngrams(text: pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
     """All positional token ``n``-grams of each text, fully vectorized.
 
