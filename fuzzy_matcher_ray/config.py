@@ -37,6 +37,13 @@ class PipelineConfig:
     ocr_fold: bool = True           # fold OCR confusables before hashing
     # --- candidate generation skew handling ---
     max_band_group: int = 64        # groups larger than this emit star+chain
+    verify_budget_per_doc: int | None = None  # cap verify work per doc by
+    # keeping each doc's top-N candidate pairs ranked by band-agreement
+    # count (the LSH estimate of Jaccard) — ≙ ComputeScore/MaxHeap
+    # best-first priority bounding trie exploration (utils.go:54-68,
+    # breadth_first_search.go:25-101). None (default) verifies every
+    # candidate; set on adversarial corpora where near-threshold boilerplate
+    # makes the pair table explode past O(docs)
     # edges instead of all-pairs (connectivity-preserving skew cap; the
     # recall trade-off is gated by the planted hot-band test in
     # tests/test_dedup_e2e.py: same-family docs in a hot group stay

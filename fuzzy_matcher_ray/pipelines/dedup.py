@@ -128,10 +128,21 @@ def _verified_jaccard(pairs, norm, cfg: PipelineConfig, attacher,
 
 def minhash_edges(norm, cfg: PipelineConfig, attacher=None, sigs=None,
                   sets_ref=None):
-    """MinHash/LSH pass → exact-Jaccard-verified edges (a, b, jaccard)."""
+    """MinHash/LSH pass → exact-Jaccard-verified edges (a, b, jaccard).
+
+    With ``cfg.verify_budget_per_doc`` set, pairs keep their band-agreement
+    multiplicity (``dedup=False``) and each doc verifies only its
+    top-budget pairs ranked by band-hit count — the ComputeScore/MaxHeap
+    best-first budget (utils.go:54-68) bounding verify cost on adversarial
+    near-threshold corpora."""
     if sigs is None:
         sigs = signature_table(norm, cfg)
-    pairs = key_pairs(band_key_rows(sigs, cfg), ["band", "band_hash"], cfg)
+    budget = cfg.verify_budget_per_doc
+    pairs = key_pairs(band_key_rows(sigs, cfg), ["band", "band_hash"], cfg,
+                      dedup=budget is None)
+    if budget is not None:
+        from fuzzy_matcher_ray.stages.candidates import budget_pairs, count_pairs
+        pairs = budget_pairs(count_pairs(pairs), budget)
     return _verified_jaccard(pairs, norm, cfg, attacher, sets_ref=sets_ref)
 
 

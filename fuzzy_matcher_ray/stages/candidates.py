@@ -535,3 +535,116 @@ def dedup_pairs(pairs, min_cols: list[str] | None = None, aggs=None):
         return mat.groupby(["a", "b"]).aggregate(*mins)
     counted = mat.groupby(["a", "b"]).count()
     return counted.select_columns(["a", "b"])
+
+
+def count_pairs(pairs):
+    """Multi-rows (a,b) → (a, b, hits): band-agreement count per pair.
+
+    ``hits`` = number of candidate keys (LSH bands / SimHash blocks) the
+    pair collided in — the banding estimate of signature agreement, i.e. a
+    monotone proxy for Jaccard. ≙ the count-based candidate priority of
+    ``ComputeScore`` (utils.go:54-68: 0.4·Count-ratio + 0.6·similarity).
+    Input must come from ``key_pairs(..., dedup=False)`` so multiplicity is
+    still present. Driver lexsort under DRIVER_EXPLODE_MAX_ROWS (slim int64
+    rows), hash groupby beyond.
+    """
+    import ray.data as rd
+    mat = pairs.materialize()
+    if mat.count() <= DRIVER_EXPLODE_MAX_ROWS:
+        tbls = [tb for tb in (ray.get(r) for r in mat.to_arrow_refs())
+                if len(tb) > 0]
+        if not tbls:
+            return rd.from_arrow(pa.table({
+                "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                "hits": pa.array([], pa.int64())}))
+        t = pa.concat_tables([tb.select(["a", "b"]) for tb in tbls]) \
+            .combine_chunks()
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        brk = np.empty(len(a), dtype=bool)
+        brk[0] = True
+        brk[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        seg = np.nonzero(brk)[0]
+        hits = np.diff(np.append(seg, len(a)))
+        out = pa.table({"a": pa.array(a[seg]), "b": pa.array(b[seg]),
+                        "hits": pa.array(hits.astype("int64"))})
+        chunk = 65536
+        return rd.from_arrow(
+            [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)])
+    counted = mat.groupby(["a", "b"]).count()
+    ccol = _count_col(counted)
+    return counted.map_batches(
+        lambda t: pa.table({"a": t["a"], "b": t["b"],
+                            "hits": pc.cast(t[ccol], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def budget_pairs(pairs_hits, budget: int):
+    """(a, b, hits) → (a, b): per-doc verify budget, ranked by ``hits``.
+
+    Keeps a pair iff it ranks within the top-``budget`` pairs of EITHER
+    endpoint, ordered by hits desc then (a, b) asc. The deterministic
+    tie-break makes equal-similarity families keep their pair to the
+    min-id member, so a family of exact-equal docs stays one connected
+    component at any budget ≥ 1. ≙ MaxHeap best-first expansion under the
+    MaxDepth budget (breadth_first_search.go:25-101): spend bounded
+    verification work on the best-estimated candidates first.
+
+    Scale shape: driver numpy under DRIVER_EXPLODE_MAX_ROWS; beyond that a
+    2x endpoint explode + ``groupby(doc).map_groups`` top-k over the slim
+    (doc, hits, a, b) table. Partitioning assumption for the distributed
+    path: one doc's candidate pairs fit in a group block (bounded by
+    bands × max_band_group ≪ block size).
+    """
+    import ray.data as rd
+    mat = pairs_hits.materialize()
+    n = mat.count()
+    if n == 0:
+        return mat.map_batches(lambda t: t.select(["a", "b"]),
+                               batch_format="pyarrow")
+    if n <= DRIVER_EXPLODE_MAX_ROWS:
+        t = pa.concat_tables(
+            [ray.get(r).select(["a", "b", "hits"])
+             for r in mat.to_arrow_refs()]).combine_chunks()
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        h = t["hits"].to_numpy(zero_copy_only=False)
+        idx = np.arange(len(a))
+        doc = np.concatenate([a, b])
+        h2 = np.concatenate([h, h])
+        a2 = np.concatenate([a, a])
+        b2 = np.concatenate([b, b])
+        pid = np.concatenate([idx, idx])
+        order = np.lexsort((b2, a2, -h2, doc))
+        doc_s = doc[order]
+        brk = np.empty(len(doc_s), dtype=bool)
+        brk[0] = True
+        brk[1:] = doc_s[1:] != doc_s[:-1]
+        seg = np.nonzero(brk)[0]
+        sizes = np.diff(np.append(seg, len(doc_s)))
+        rank = np.arange(len(doc_s)) - np.repeat(seg, sizes)
+        keep = np.zeros(len(a), dtype=bool)
+        keep[pid[order][rank < budget]] = True
+        out = pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+        chunk = 65536
+        return rd.from_arrow(
+            [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc": pa.concat_arrays([t["a"].combine_chunks(),
+                                     t["b"].combine_chunks()]),
+            "hits": pa.concat_arrays([t["hits"].combine_chunks()] * 2),
+            "a": pa.concat_arrays([t["a"].combine_chunks()] * 2),
+            "b": pa.concat_arrays([t["b"].combine_chunks()] * 2)})
+
+    def _topk(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("hits", "descending"), ("a", "ascending"), ("b", "ascending")])
+        return group.take(order[:budget]).select(["a", "b"])
+
+    kept = (mat.map_batches(_explode, batch_format="pyarrow")
+            .groupby("doc").map_groups(_topk, batch_format="pyarrow"))
+    return dedup_pairs(kept)
