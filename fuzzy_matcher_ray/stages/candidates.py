@@ -581,6 +581,28 @@ def count_pairs(pairs):
         batch_format="pyarrow")
 
 
+def _budget_pairs_numpy(a: np.ndarray, b: np.ndarray, h: np.ndarray,
+                        budget: int) -> np.ndarray:
+    """Core of ``budget_pairs``: (n,2) kept pairs, pure numpy (testable)."""
+    idx = np.arange(len(a))
+    doc = np.concatenate([a, b])
+    h2 = np.concatenate([h, h])
+    a2 = np.concatenate([a, a])
+    b2 = np.concatenate([b, b])
+    pid = np.concatenate([idx, idx])
+    order = np.lexsort((b2, a2, -h2, doc))
+    doc_s = doc[order]
+    brk = np.empty(len(doc_s), dtype=bool)
+    brk[0] = True
+    brk[1:] = doc_s[1:] != doc_s[:-1]
+    seg = np.nonzero(brk)[0]
+    sizes = np.diff(np.append(seg, len(doc_s)))
+    rank = np.arange(len(doc_s)) - np.repeat(seg, sizes)
+    keep = np.zeros(len(a), dtype=bool)
+    keep[pid[order][rank < budget]] = True
+    return np.stack([a[keep], b[keep]], axis=1)
+
+
 def budget_pairs(pairs_hits, budget: int):
     """(a, b, hits) → (a, b): per-doc verify budget, ranked by ``hits``.
 
@@ -608,26 +630,11 @@ def budget_pairs(pairs_hits, budget: int):
         t = pa.concat_tables(
             [ray.get(r).select(["a", "b", "hits"])
              for r in mat.to_arrow_refs()]).combine_chunks()
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        h = t["hits"].to_numpy(zero_copy_only=False)
-        idx = np.arange(len(a))
-        doc = np.concatenate([a, b])
-        h2 = np.concatenate([h, h])
-        a2 = np.concatenate([a, a])
-        b2 = np.concatenate([b, b])
-        pid = np.concatenate([idx, idx])
-        order = np.lexsort((b2, a2, -h2, doc))
-        doc_s = doc[order]
-        brk = np.empty(len(doc_s), dtype=bool)
-        brk[0] = True
-        brk[1:] = doc_s[1:] != doc_s[:-1]
-        seg = np.nonzero(brk)[0]
-        sizes = np.diff(np.append(seg, len(doc_s)))
-        rank = np.arange(len(doc_s)) - np.repeat(seg, sizes)
-        keep = np.zeros(len(a), dtype=bool)
-        keep[pid[order][rank < budget]] = True
-        out = pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+        kept = _budget_pairs_numpy(
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False),
+            t["hits"].to_numpy(zero_copy_only=False), budget)
+        out = pa.table({"a": pa.array(kept[:, 0]), "b": pa.array(kept[:, 1])})
         chunk = 65536
         return rd.from_arrow(
             [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)])

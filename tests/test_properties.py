@@ -71,3 +71,44 @@ def test_normalize_idempotent_and_alnum(s):
     n = normalize_text(s)
     assert normalize_text(n) == n
     assert all(c.isascii() and c.isalnum() for c in n)
+
+
+@settings(deadline=None, max_examples=200)
+@given(st.lists(st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    max_size=40), min_size=1, max_size=20))
+def test_canonical_url_idempotent(urls):
+    """canonical_url is a projection: applying it twice = once."""
+    from fuzzy_matcher_ray.pipelines.webtext import canonical_url
+    once = canonical_url(pa.array(urls, pa.string()))
+    twice = canonical_url(once)
+    assert once.to_pylist() == twice.to_pylist()
+
+
+@settings(deadline=None, max_examples=100)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30),
+                          st.integers(1, 16)), min_size=1, max_size=60),
+       st.integers(1, 5))
+def test_budget_pairs_driver_invariants(raw, budget):
+    """Driver-path budget filter: output ⊆ input; every endpoint with at
+    least one pair keeps at least one; budget ≥ per-doc degree keeps all."""
+    pairs = {(min(a, b), max(a, b)): h for a, b, h in raw if a != b}
+    if not pairs:
+        return
+    from fuzzy_matcher_ray.stages.candidates import _budget_pairs_numpy
+    a = np.array([p[0] for p in pairs], dtype=np.int64)
+    b = np.array([p[1] for p in pairs], dtype=np.int64)
+    h = np.array(list(pairs.values()), dtype=np.int64)
+    kept = _budget_pairs_numpy(a, b, h, budget)
+    kept_set = set(map(tuple, kept))
+    assert kept_set <= set(pairs)
+    docs = set(a.tolist()) | set(b.tolist())
+    touched = {d for p in kept_set for d in p}
+    assert touched == docs
+    from collections import Counter
+    deg = Counter()
+    for x, y in pairs:
+        deg[x] += 1
+        deg[y] += 1
+    if budget >= max(deg.values()):
+        assert kept_set == set(pairs)
