@@ -60,6 +60,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               passes=("substring",))
         return out.select_columns(["doc_id", "cluster_id"]).sort("doc_id")
 
+    def jaccard_brute(sf_dir: str):
+        from fuzzy_matcher_ray.pipelines.dedup import jaccard_allpairs_clusters
+        out = jaccard_allpairs_clusters(documents_source(sf_dir))
+        return out.select_columns(["doc_id", "cluster_id"]).sort("doc_id")
+
     return {
         # --- normalization / exact dedup (SQL-checked) ---
         "normalize_text": lambda d: textops.normalized_text(d).sort("doc_id"),
@@ -97,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_match_customers": _em_customers,
         # --- flagship dedup passes (rows-only; pytest brute-force oracle) ---
         "dedup_full": flagship,
+        "dedup_jaccard_brute": jaccard_brute,
         "dedup_minhash": minhash_only,
         "dedup_simhash": simhash_only,
         "dedup_substring": substring_only,
@@ -248,6 +254,32 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY doc_id, ln) = 1)
             SELECT doc_id, string_agg(line, ' ' ORDER BY ln) AS kept_text
             FROM kept GROUP BY doc_id ORDER BY doc_id""",
+        # exact all-pairs 5-gram Jaccard >= 0.8 clusters, min-id labels —
+        # the ONLY near-dup clustering oracle expressible in SQL (the LSH
+        # passes are approximate by design and stay rows-only)
+        "dedup_jaccard_brute": f"""
+            WITH RECURSIVE
+            norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            g AS (SELECT doc_id, substr(t, CAST(u AS INT), 5) AS sh
+                  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS u
+                        FROM norm WHERE length(t) >= 5)),
+            d AS (SELECT DISTINCT doc_id, sh FROM g),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+                      FROM d x JOIN d y
+                        ON x.sh = y.sh AND x.doc_id < y.doc_id
+                      GROUP BY x.doc_id, y.doc_id),
+            p AS (SELECT a, b FROM inter
+                  JOIN sz sa ON sa.doc_id = inter.a
+                  JOIN sz sb ON sb.doc_id = inter.b
+                  WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8),
+            sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+            reach(n, m) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a)
+            SELECT n AS doc_id, min(m)::BIGINT AS cluster_id
+            FROM reach GROUP BY n ORDER BY n""",
         "url_collapse": """
             WITH u AS (
               SELECT doc_id,

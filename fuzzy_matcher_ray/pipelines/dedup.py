@@ -355,3 +355,68 @@ def find_duplicates(docs, cfg: PipelineConfig | None = None,
                                   "doc_id", "doc_id", {"url": "url"}, how="left",
                                   num_partitions=cfg.join_num_partitions)
     return clusters
+
+
+def jaccard_allpairs_clusters(docs, cfg: PipelineConfig | None = None,
+                              threshold: float | None = None):
+    """EXACT all-pairs Jaccard clustering via the inverted shingle index.
+
+    The verification baseline the LSH passes are measured against — no
+    banding, no hot-group caps, no misses. Vernica-style all-pairs
+    similarity join: distinct ``(shingle, doc_id)`` rows group by shingle to
+    emit co-occurrence pairs; pair multiplicity (``count_pairs``) IS the
+    intersection size; set sizes attach by join; exact Jaccard thresholds
+    the edges; connected components label every doc.
+
+    Cost is output-bound — Σ over shingles of C(group, 2) — so a corpus
+    where many docs share a shingle explodes quadratically by definition of
+    the problem (use the LSH passes at scale). SQL-expressible end-to-end,
+    hence DuckDB-oracle-checked in the driver contract
+    (``dedup_jaccard_brute``), unlike the approximate passes.
+    """
+    from dataclasses import replace
+
+    from fuzzy_matcher_ray.functions.normalize import normalize_array
+    from fuzzy_matcher_ray.functions.shingle import shingle_batch, unique_per_doc
+    from fuzzy_matcher_ray.stages.candidates import count_pairs, key_pairs
+    from fuzzy_matcher_ray.stages.cluster import cluster_edges
+    from fuzzy_matcher_ray.stages.joins import attach_columns
+
+    cfg = cfg or PipelineConfig()
+    thr = cfg.jaccard_threshold if threshold is None else threshold
+
+    def _rows(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"])
+        hashes, counts = shingle_batch(norm, cfg.shingle_k, cfg.seed)
+        uh, uc = unique_per_doc(hashes, counts)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"sh": pa.array(uh),
+                         "doc_id": pa.array(np.repeat(ids, uc))})
+
+    rows = docs.select_columns(["doc_id", "text"]).map_batches(
+        _rows, batch_format="pyarrow")
+    # exactness requires every within-group pair: lift the skew cap (the
+    # star+chain shortcut would silently drop cross-pairs of hot shingles)
+    nocap = replace(cfg, max_band_group=1 << 30)
+    counted = count_pairs(key_pairs(rows, ["sh"], nocap, dedup=False))
+    sizes = rows.groupby("doc_id").count()
+
+    def _csize(t: pa.Table) -> pa.Table:
+        ccol = next(c for c in t.schema.names if c != "doc_id")
+        return pa.table({"doc_id": t["doc_id"],
+                         "nsh": pc.cast(t[ccol], pa.int64())})
+
+    sizes = sizes.map_batches(_csize, batch_format="pyarrow")
+    withs = attach_columns(counted, sizes, "a", "doc_id", {"nsh": "na"})
+    withs = attach_columns(withs, sizes, "b", "doc_id", {"nsh": "nb"})
+
+    def _thresh(t: pa.Table) -> pa.Table:
+        inter = pc.cast(t["hits"], pa.float64())
+        union = pc.cast(pc.subtract(pc.add(t["na"], t["nb"]), t["hits"]),
+                        pa.float64())
+        jac = pc.divide(inter, union)
+        return t.filter(pc.greater_equal(jac, pa.scalar(thr))) \
+            .select(["a", "b"])
+
+    edges = withs.map_batches(_thresh, batch_format="pyarrow")
+    return cluster_edges(edges, docs.select_columns(["doc_id"]), cfg)
