@@ -298,10 +298,10 @@ def oracle_sql() -> dict[str, str]:
                   regexp_replace(
                     regexp_replace(
                       regexp_replace(lower(url),
-                        '^[a-z][a-z0-9+.-]*://', ''),
-                      '^www\\.', ''),
+                        '^([a-z][a-z0-9+.-]*://)+', ''),
+                      '^(www\\.)+', ''),
                     '[#?].*$', ''),
-                  '/$', '') AS canon_url
+                  '/+$', '') AS canon_url
               FROM u)
             SELECT canon_url, max(doc_id) AS doc_id
             FROM c GROUP BY canon_url ORDER BY canon_url""",

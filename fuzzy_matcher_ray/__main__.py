@@ -41,24 +41,40 @@ def _source(kind: str, path: str):
     raise SystemExit(f"unknown --source {kind!r} (webpages|documents)")
 
 
+_VALID_PASSES = ("exact", "minhash", "simhash", "substring")
+
+
+def _rows_written(path: str) -> int:
+    """Row count from the parquet files just written (metadata read) —
+    never re-executes the lazy pipeline that produced them."""
+    import ray.data as rd
+    return rd.read_parquet(path).count()
+
+
 def cmd_dedup(args) -> dict:
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
-    from fuzzy_matcher_ray.state.checkpoint import Checkpointer
+    from fuzzy_matcher_ray.state.checkpoint import Checkpointer, write_atomic
 
+    passes = tuple(p.strip() for p in args.passes.split(",") if p.strip())
+    bad = [p for p in passes if p not in _VALID_PASSES]
+    if bad or not passes:
+        raise SystemExit(f"--passes: unknown pass(es) {bad or ['<empty>']}; "
+                         f"valid: {','.join(_VALID_PASSES)}")
     cfg = PipelineConfig()
-    # lineage key = config x input: a checkpoint dir reused against a
-    # different input must rebuild, not silently resume the old run's data
+    # lineage key = config x input x passes: a checkpoint dir reused with a
+    # different input OR pass set must rebuild, not silently resume the old
+    # run's edge union / clusters
     ck = (Checkpointer(args.checkpoint,
-                       f"{cfg.config_hash()}:{args.source}:{args.input}")
+                       f"{cfg.config_hash()}:{args.source}:{args.input}:"
+                       + ",".join(sorted(passes)))
           if args.checkpoint else None)
     docs = _source(args.source, args.input)
-    passes = tuple(args.passes.split(","))
     t0 = time.perf_counter()
     out = find_duplicates(docs, cfg, checkpointer=ck, passes=passes)
-    out.write_parquet(args.output)
+    write_atomic(out, args.output)
     wall = time.perf_counter() - t0
-    n = out.count()
+    n = _rows_written(args.output)
     return {"job": "dedup", "rows": n, "sec": round(wall, 3),
             "docs_per_sec": round(n / wall, 1) if wall else None,
             "passes": list(passes), "output": args.output,
@@ -68,6 +84,7 @@ def cmd_dedup(args) -> dict:
 
 def cmd_span_dedup(args) -> dict:
     from fuzzy_matcher_ray.pipelines.webtext import dedup_spans
+    from fuzzy_matcher_ray.state.checkpoint import write_atomic
 
     docs = _source(args.source, args.input).select_columns(
         ["doc_id", "text"])
@@ -75,22 +92,23 @@ def cmd_span_dedup(args) -> dict:
     out = (dedup_spans(docs, span_tokens=None, pattern="\n")
            if args.mode == "line"
            else dedup_spans(docs, span_tokens=args.span_tokens))
-    out.write_parquet(args.output)
+    write_atomic(out, args.output)
     wall = time.perf_counter() - t0
-    n = out.count()
+    n = _rows_written(args.output)
     return {"job": f"{args.mode}_dedup", "rows": n, "sec": round(wall, 3),
             "output": args.output}
 
 
 def cmd_url_dedup(args) -> dict:
     from fuzzy_matcher_ray.pipelines.webtext import dedup_by_url
+    from fuzzy_matcher_ray.state.checkpoint import write_atomic
 
     docs = _source(args.source, args.input)
     t0 = time.perf_counter()
     out = dedup_by_url(docs)
-    out.write_parquet(args.output)
+    write_atomic(out, args.output)
     wall = time.perf_counter() - t0
-    n = out.count()
+    n = _rows_written(args.output)
     return {"job": "url_dedup", "rows": n, "sec": round(wall, 3),
             "output": args.output}
 

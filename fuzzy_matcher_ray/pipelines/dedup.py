@@ -393,8 +393,10 @@ def jaccard_allpairs_clusters(docs, cfg: PipelineConfig | None = None,
         return pa.table({"sh": pa.array(uh),
                          "doc_id": pa.array(np.repeat(ids, uc))})
 
+    # two consumers (pair explode + size groupby) — pin blocks so the
+    # normalize+shingle pass runs once, not once per consumer
     rows = docs.select_columns(["doc_id", "text"]).map_batches(
-        _rows, batch_format="pyarrow")
+        _rows, batch_format="pyarrow").materialize()
     # exactness requires every within-group pair: lift the skew cap (the
     # star+chain shortcut would silently drop cross-pairs of hot shingles)
     nocap = replace(cfg, max_band_group=1 << 30)

@@ -154,14 +154,17 @@ def line_dedup(docs):
 
 def canonical_url(url: pa.Array | pa.ChunkedArray) -> pa.Array:
     """Canonical form of a URL column, fully vectorized Arrow kernels:
-    lowercase, strip scheme + leading ``www.``, strip ``#fragment`` and
-    ``?query``, strip one trailing slash. ``http(s)://WWW.A.com/x/?u=1#f``
-    and ``https://a.com/x`` canonicalize identically."""
+    lowercase, strip scheme(s) + leading ``www.`` repeats, strip
+    ``#fragment`` and ``?query``, strip trailing slashes.
+    ``http(s)://WWW.A.com/x/?u=1#f`` and ``https://a.com/x`` canonicalize
+    identically. Idempotent (a projection): every rule strips ALL leading /
+    trailing repeats, so re-canonicalizing a canonical URL is a no-op
+    (property-tested)."""
     u = pc.utf8_lower(pc.fill_null(_as_array(url), ""))
-    u = pc.replace_substring_regex(u, r"^[a-z][a-z0-9+.-]*://", "")
-    u = pc.replace_substring_regex(u, r"^www\.", "")
+    u = pc.replace_substring_regex(u, r"^(?:[a-z][a-z0-9+.-]*://)+", "")
+    u = pc.replace_substring_regex(u, r"^(?:www\.)+", "")
     u = pc.replace_substring_regex(u, r"[#?].*$", "")
-    return pc.replace_substring_regex(u, r"/$", "")
+    return pc.replace_substring_regex(u, r"/+$", "")
 
 
 def dedup_by_url(pages):

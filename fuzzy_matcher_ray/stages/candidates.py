@@ -499,6 +499,26 @@ def _pairs_schema(derive) -> pa.Table:
     return pa.table(cols)
 
 
+def _collect_driver_table(mat, cols: list[str]) -> pa.Table | None:
+    """Materialized Dataset → one driver pa.Table of ``cols``; None if empty.
+
+    The shared collect idiom of the driver fast paths (dedup_pairs /
+    count_pairs / budget_pairs) — keep guards/fixes here, in ONE place.
+    """
+    tbls = [tb.select(cols) for tb in (ray.get(r) for r in mat.to_arrow_refs())
+            if len(tb) > 0]
+    if not tbls:
+        return None
+    return pa.concat_tables(tbls).combine_chunks()
+
+
+def _chunked_ds(out: pa.Table, chunk: int = 65536):
+    """Driver table → Dataset in small blocks (downstream parallelism)."""
+    import ray.data as rd
+    return rd.from_arrow(
+        [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)])
+
+
 def dedup_pairs(pairs, min_cols: list[str] | None = None, aggs=None):
     """Each (a,b) exactly once — verify-once semantics (min-edit merge ≙
     fuzzy_matcher_core.go:198-205 keeps one row per pair).
@@ -517,18 +537,10 @@ def dedup_pairs(pairs, min_cols: list[str] | None = None, aggs=None):
         return pairs.groupby(["a", "b"]).aggregate(*aggs)
     mat = pairs.materialize()
     if mat.count() <= DRIVER_EXPLODE_MAX_ROWS:
-        import ray
-        import ray.data as rd
-        tbls = [tb for tb in (ray.get(r) for r in mat.to_arrow_refs())
-                if len(tb) > 0]
-        if not tbls:        # empty pair set (duplicate-free corpus)
+        t = _collect_driver_table(mat, ["a", "b"] + min_cols)
+        if t is None:       # empty pair set (duplicate-free corpus)
             return mat
-        t = pa.concat_tables(
-            [tb.select(["a", "b"] + min_cols) for tb in tbls]).combine_chunks()
-        out = _numpy_dedup_pairs(t, min_cols)
-        chunk = 65536
-        return rd.from_arrow(
-            [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)])
+        return _chunked_ds(_numpy_dedup_pairs(t, min_cols))
     if min_cols:
         from ray.data.aggregate import Min
         mins = [Min(c, alias_name=c, ignore_nulls=True) for c in min_cols]
@@ -551,14 +563,11 @@ def count_pairs(pairs):
     import ray.data as rd
     mat = pairs.materialize()
     if mat.count() <= DRIVER_EXPLODE_MAX_ROWS:
-        tbls = [tb for tb in (ray.get(r) for r in mat.to_arrow_refs())
-                if len(tb) > 0]
-        if not tbls:
+        t = _collect_driver_table(mat, ["a", "b"])
+        if t is None:
             return rd.from_arrow(pa.table({
                 "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                 "hits": pa.array([], pa.int64())}))
-        t = pa.concat_tables([tb.select(["a", "b"]) for tb in tbls]) \
-            .combine_chunks()
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
         order = np.lexsort((b, a))
@@ -568,11 +577,9 @@ def count_pairs(pairs):
         brk[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         seg = np.nonzero(brk)[0]
         hits = np.diff(np.append(seg, len(a)))
-        out = pa.table({"a": pa.array(a[seg]), "b": pa.array(b[seg]),
-                        "hits": pa.array(hits.astype("int64"))})
-        chunk = 65536
-        return rd.from_arrow(
-            [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)])
+        return _chunked_ds(pa.table({
+            "a": pa.array(a[seg]), "b": pa.array(b[seg]),
+            "hits": pa.array(hits.astype("int64"))}))
     counted = mat.groupby(["a", "b"]).count()
     ccol = _count_col(counted)
     return counted.map_batches(
@@ -627,17 +634,13 @@ def budget_pairs(pairs_hits, budget: int):
         return mat.map_batches(lambda t: t.select(["a", "b"]),
                                batch_format="pyarrow")
     if n <= DRIVER_EXPLODE_MAX_ROWS:
-        t = pa.concat_tables(
-            [ray.get(r).select(["a", "b", "hits"])
-             for r in mat.to_arrow_refs()]).combine_chunks()
+        t = _collect_driver_table(mat, ["a", "b", "hits"])
         kept = _budget_pairs_numpy(
             t["a"].to_numpy(zero_copy_only=False),
             t["b"].to_numpy(zero_copy_only=False),
             t["hits"].to_numpy(zero_copy_only=False), budget)
-        out = pa.table({"a": pa.array(kept[:, 0]), "b": pa.array(kept[:, 1])})
-        chunk = 65536
-        return rd.from_arrow(
-            [out.slice(lo, chunk) for lo in range(0, max(len(out), 1), chunk)])
+        return _chunked_ds(pa.table({"a": pa.array(kept[:, 0]),
+                                     "b": pa.array(kept[:, 1])}))
 
     def _explode(t: pa.Table) -> pa.Table:
         return pa.table({

@@ -95,9 +95,15 @@ def _write_parquet_nonempty(ds, path: str, empty_schema=None) -> None:
     if not os.path.isdir(path) or not os.listdir(path):
         import pyarrow as pa
         import pyarrow.parquet as pq
-        sch = ds.schema()
-        arrow_sch = (sch.base_schema if sch is not None else None) \
-            or empty_schema or pa.schema([])
+        if empty_schema is not None:
+            arrow_sch = empty_schema
+        else:
+            # no caller-pinned schema: derive from the dataset. May
+            # re-execute a lazy plan — callers on hot paths pass
+            # empty_schema precisely to avoid that.
+            sch = ds.schema()
+            arrow_sch = (sch.base_schema if sch is not None else None) \
+                or pa.schema([])
         os.makedirs(path, exist_ok=True)
         pq.write_table(arrow_sch.empty_table(),
                        os.path.join(path, "part-empty.parquet"))

@@ -35,6 +35,23 @@ def test_cli_dedup_fresh_then_resume(tmp_path):
             "--output", str(tmp_path / "clusters"))
     m1 = _run_cli(*args)
     assert m1["rows"] > 0 and m1["resumed_stages"] == []
+    # rerun: resumes every stage AND the atomic output write does not
+    # append-double the parquet dir
     m2 = _run_cli(*args)
     assert m2["rows"] == m1["rows"]
     assert "clusters" in m2["resumed_stages"]
+    # a different pass set must invalidate the lineage, not silently
+    # resume the previous run's edge union
+    m3 = _run_cli(*args, "--passes", "exact")
+    assert m3["resumed_stages"] == [] and m3["rows"] == m1["rows"]
+
+
+def test_cli_rejects_unknown_pass(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, "-m", "fuzzy_matcher_ray", "--num-cpus", "2",
+         "dedup", "--input", SF, "--source", "documents",
+         "--passes", "exact,minash", "--output", str(tmp_path / "o")],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode != 0
+    assert "minash" in proc.stderr
