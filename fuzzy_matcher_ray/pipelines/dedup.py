@@ -390,7 +390,10 @@ def jaccard_allpairs_clusters(docs, cfg: PipelineConfig | None = None,
         hashes, counts = shingle_batch(norm, cfg.shingle_k, cfg.seed)
         uh, uc = unique_per_doc(hashes, counts)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table({"sh": pa.array(uh),
+        # int64 view of the uint64 hashes: grouping only needs the bits,
+        # and values past int64-max break Arrow conversion in the
+        # distributed groupby branches
+        return pa.table({"sh": pa.array(uh.view(np.int64)),
                          "doc_id": pa.array(np.repeat(ids, uc))})
 
     # two consumers (pair explode + size groupby) — pin blocks so the

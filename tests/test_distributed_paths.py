@@ -68,3 +68,22 @@ def test_full_pipeline_distributed_paths(ray_session, monkeypatch):
     slow = find_duplicates(rd.from_arrow(tbl), cfg, cluster_strategy="distributed") \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert fast[["doc_id", "cluster_id"]].equals(slow[["doc_id", "cluster_id"]])
+
+
+def test_jaccard_allpairs_distributed_parity(ray_session, monkeypatch):
+    """Exact all-pairs Jaccard clustering: distributed count/join branches
+    produce the same clusters as the driver fast paths."""
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.pipelines.dedup import jaccard_allpairs_clusters
+    pages, _ = make_webpages(60, seed=29)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(pages)), pa.int64()),
+        "text": pages["text"]}))
+    fast = jaccard_allpairs_clusters(ds) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (fast.doc_id != fast.cluster_id).sum() > 0  # planted dups found
+    monkeypatch.setattr(C, "DRIVER_EXPLODE_MAX_ROWS", 10)
+    slow = jaccard_allpairs_clusters(ds) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(slow)
