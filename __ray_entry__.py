@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_counts": textops.fingerprint_counts,
         "knn_topk_ivf": knn.knn_topk_ivf,
         "embedding_dup_clusters": knn.embedding_dup_clusters,
+        # SRP-LSH scale path — approximate by design, rows-only (recall
+        # gate lives in tests/test_knn.py)
+        "embedding_dup_pairs_lsh": knn.embedding_dup_pairs_lsh,
         # --- multimodal (REAL WAV/PPM decode, pytest round-trip oracle;
         #     codec formats remain honestly stubbed) ---
         "multimodal_decode": multimodal.decode_binary_docs,

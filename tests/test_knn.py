@@ -82,3 +82,35 @@ def test_nearest_neighbor_ties_deterministic(ray_session):
     out = nearest_neighbor(SF_DIR, limit_ids=50).to_pandas()
     assert len(out) == 50
     assert (out.vec_id != out.nn_id).all()
+
+
+def test_embedding_lsh_pairs_recall_and_precision(ray_session, tmp_path):
+    """SRP-LSH near-dup pass: exact-verified (precision 1.0 vs the brute
+    oracle by construction) and recall >= 0.95 on planted near-dups."""
+    import pyarrow.parquet as pq
+
+    from fuzzy_matcher_ray.pipelines.knn import embedding_dup_pairs_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 32))
+    dups = base[:40] + 0.05 * rng.standard_normal((40, 32))
+    mat = np.vstack([base, dups])
+    ids = np.arange(len(mat), dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array([row.astype(np.float32) for row in mat],
+                              pa.list_(pa.float32()))})
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    got = embedding_dup_pairs_lsh(str(tmp_path), threshold=0.9).to_pandas()
+    got_pairs = set(zip(got.a.tolist(), got.b.tolist()))
+
+    # brute-force oracle on the same float32 round-trip the pipeline reads
+    m64 = np.stack([row.astype(np.float32) for row in mat]).astype(np.float64)
+    mn = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    sims = np.floor(mn @ mn.T * 1e6 + 0.5) / 1e6
+    iu = np.triu_indices(len(mat), k=1)
+    exact = {(int(i), int(j)) for i, j in zip(*iu) if sims[i, j] >= 0.9}
+    assert exact, "oracle found no planted pairs — test corpus broken"
+    assert got_pairs <= exact                     # precision 1.0
+    assert len(got_pairs) / len(exact) >= 0.95    # SRP recall gate
