@@ -134,6 +134,15 @@ def run_bench() -> dict:
     webtext.top_ngrams(SF_DIR).count()
     queries["top_ngrams"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    webtext.url_collapse(SF_DIR).count()
+    queries["url_collapse"] = round(time.perf_counter() - t0, 3)
+
+    from fuzzy_matcher_ray.pipelines.knn import embedding_dup_pairs_lsh
+    t0 = time.perf_counter()
+    embedding_dup_pairs_lsh(SF_DIR).count()
+    queries["embedding_dup_pairs_lsh"] = round(time.perf_counter() - t0, 3)
+
     from fuzzy_matcher_ray.pipelines.entity_match import match_customers
     t0 = time.perf_counter()
     match_customers(SF_DIR).count()

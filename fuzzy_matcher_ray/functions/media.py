@@ -52,6 +52,10 @@ def parse_wav(buf: bytes) -> dict:
     audio_fmt, n_ch, rate, _byte_rate, _block, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise ValueError(f"unsupported WAV encoding fmt={audio_fmt} bits={bits}")
+    if rate <= 0 or n_ch <= 0:
+        # must be ValueError: the decode stages' dead-letter catch promises
+        # malformed payloads never crash the pipeline
+        raise ValueError(f"invalid WAV fmt rate={rate} channels={n_ch}")
     samples = np.frombuffer(data, dtype="<i2")
     if n_ch > 1:
         samples = samples[: (len(samples) // n_ch) * n_ch].reshape(-1, n_ch)

@@ -129,7 +129,10 @@ def _row_max_edits(batch: pa.Table, col: str, n: int) -> np.ndarray | None:
     v = batch[col]
     if isinstance(v, pa.ChunkedArray):
         v = v.combine_chunks()
-    out = pc.fill_null(v, 2 ** 31).to_numpy(zero_copy_only=False)
+    # cast to int64 BEFORE fill_null: the sentinel doesn't fit narrower
+    # column types (an int32 max_edits column would raise ArrowInvalid)
+    out = pc.fill_null(pc.cast(v, pa.int64()), 2 ** 31) \
+        .to_numpy(zero_copy_only=False)
     return out.astype(np.int64)
 
 
@@ -264,6 +267,7 @@ class _Verifier:
                 sims = np.where(mx > 0, 1.0 - d / np.maximum(mx, 1), 1.0)
             else:
                 sims = _jw_padded(A, la, B, lb)
+                d = None
             # prefix completion is trie *depth*, not edits (BFS completion,
             # breadth_first_search.go:25-101) — "ben"→"benjamin" costs 0
             mn = np.minimum(la, lb)
@@ -273,9 +277,13 @@ class _Verifier:
                 run &= (t_ < mn) & (A[:, t_] == B[:, t_])
                 cp += run
             is_prefix = cp == mn
-            ed = np.where(is_prefix, 0.0,
-                          _lev_padded(A, la, B, lb, self.conf,
-                                      cfg.ocr_confusable_cost))
+            # reuse the levenshtein-method distance — the O(L² · pairs) DP
+            # is the verify hot path's most expensive kernel, never run it
+            # twice on identical inputs
+            if d is None:
+                d = _lev_padded(A, la, B, lb, self.conf,
+                                cfg.ocr_confusable_cost)
+            ed = np.where(is_prefix, 0.0, d)
             passed = (sims >= params.min_similarity) & (ed <= params.max_edits)
             idx = np.nonzero(fz)[0]
             ok[idx[~passed]] = False

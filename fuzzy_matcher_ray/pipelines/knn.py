@@ -60,7 +60,11 @@ def _partial_topk(qi: np.ndarray, ids: np.ndarray, sims: np.ndarray,
     (rounded cosine desc, neighbor_id asc) — selection before rounding could
     drop a row that ties at the k-th place after rounding."""
     nb, nq = sims.shape
-    c_int = (_round6(sims) * 1e6).astype(np.int64)         # exact ints ±1e6
+    # micro-cosine as an exact integer: round BEFORE the int cast —
+    # `(_round6(x) * 1e6).astype(int64)` truncates ~1% of values one
+    # integer low (0.256918*1e6 = 256917.999...), creating false ties
+    # whose id tie-break can drop a true top-k row at the batch cut
+    c_int = np.floor(sims * 1e6 + 0.5).astype(np.int64)    # exact ints ±1e6
     id_rank = np.empty(nb, dtype=np.int64)
     id_rank[np.argsort(ids, kind="stable")] = np.arange(nb)
     # ascending composite == (cosine desc, neighbor_id asc)
@@ -305,6 +309,8 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
     runs after a hash join attaching vectors by id — same pattern as the
     text passes' attach_pair_texts).
     """
+    from dataclasses import replace
+
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.stages.candidates import key_pairs
 
@@ -338,7 +344,12 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
                          "doc_id": pa.array(np.concatenate(docs))})
 
     rows = ds.map_batches(_bucket_rows, batch_format="pyarrow")
-    pairs = key_pairs(rows, ["table", "bucket"], PipelineConfig())
+    # the SRP recall model assumes EVERY within-bucket pair is emitted —
+    # the star+chain hot-group cap would silently drop pairs with no
+    # union-find downstream to restore connectivity. Skew control here is
+    # n_bits (more bits → smaller buckets), not the cap.
+    pairs = key_pairs(rows, ["table", "bucket"],
+                      replace(PipelineConfig(), max_band_group=1 << 30))
 
     def _verify(t: pa.Table) -> pa.Table:
         ai, am = ray.get(ref)

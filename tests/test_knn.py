@@ -114,3 +114,15 @@ def test_embedding_lsh_pairs_recall_and_precision(ray_session, tmp_path):
     assert exact, "oracle found no planted pairs — test corpus broken"
     assert got_pairs <= exact                     # precision 1.0
     assert len(got_pairs) / len(exact) >= 0.95    # SRP recall gate
+
+
+def test_partial_topk_rounding_key_no_false_ties():
+    """(_round6(x)*1e6).astype(int64) truncated ~1% of micro-cosines one
+    integer low, creating false ties at the batch top-k cut; the key must
+    round before the int cast. 0.256918 is a reproducing value."""
+    from fuzzy_matcher_ray.pipelines.knn import _partial_topk
+    qi = np.array([0], dtype=np.int64)
+    ids = np.array([900, 100], dtype=np.int64)
+    sims = np.array([[0.256918], [0.256917]])
+    out = _partial_topk(qi, ids, sims, k=1).to_pandas()
+    assert out.neighbor_id.tolist() == [900]

@@ -170,3 +170,19 @@ def test_frame_pipeline(ray_session):
         assert len(g) == len(t_exp)
         assert np.allclose(g.t_ms.values, t_exp)
         assert np.allclose(g.rms.values, rms_exp, atol=1e-12)
+
+
+def test_parse_wav_zero_rate_is_value_error():
+    """A fmt chunk declaring sample_rate=0 must raise ValueError (the
+    dead-letter contract), not ZeroDivisionError."""
+    import struct
+
+    import pytest
+
+    from fuzzy_matcher_ray.functions.media import parse_wav
+    fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+    data = struct.pack("<4sI", b"data", 4) + b"\x00\x00\x00\x00"
+    body = struct.pack("<4sI", b"fmt ", len(fmt)) + fmt + data
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    with pytest.raises(ValueError):
+        parse_wav(wav)

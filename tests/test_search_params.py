@@ -231,3 +231,16 @@ def test_search_parameters_drive_pipeline(ray_session):
     df = _match(idx_plus, q)
     assert _best(df, 0) is not None and _best(df, 0).rec_id == 1
     assert _best(df, 1) is None     # exact tier: "Wu" != "Wun"
+
+
+def test_row_max_edits_int32_column():
+    """An int32 max_edits column must not crash fill_null with the int64
+    sentinel (pc.fill_null can't widen the fill value)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from fuzzy_matcher_ray.pipelines.entity_match import _row_max_edits
+    batch = pa.table({"max_edits": pa.array([1, None, 3], pa.int32())})
+    out = _row_max_edits(batch, "max_edits", 3)
+    assert out.dtype == np.int64
+    assert out[0] == 1 and out[1] == 2 ** 31 and out[2] == 3
