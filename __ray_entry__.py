@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- web-text sub-document dedup tier (SQL-checked) ---
         "span_dedup": webtext.span_dedup,
         "url_collapse": webtext.url_collapse,
+        "chunk_documents": webtext.chunk_documents,
+        "redact_pii": webtext.redact_pii,
         "decontaminate": webtext.decontaminate,
         "top_ngrams": webtext.top_ngrams,
         "repetition_scores": webtext.repetition_scores,
@@ -150,6 +152,13 @@ _PROBES_CTE = """
 
 def oracle_sql() -> dict[str, str]:
     from fuzzy_matcher_ray.pipelines.events import TTL_CUTOFF
+    from fuzzy_matcher_ray.pipelines.webtext import PII_PATTERNS
+
+    # derive the redaction oracle from the SAME pattern constants the Ray
+    # kernel applies (RE2 on both engines) — one source of truth
+    _redact = "text"
+    for _pat, _tok in PII_PATTERNS:
+        _redact = f"regexp_replace({_redact}, '{_pat}', '{_tok}', 'g')"
     return {
         "normalize_text":
             f"SELECT doc_id, {_NORM} AS norm_text FROM documents ORDER BY doc_id",
@@ -308,6 +317,20 @@ def oracle_sql() -> dict[str, str]:
               FROM u)
             SELECT canon_url, max(doc_id) AS doc_id
             FROM c GROUP BY canon_url ORDER BY canon_url""",
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, (i-1)//32 AS chunk_id,
+                     string_agg(w, ' ' ORDER BY i) AS chunk_text
+              FROM toks GROUP BY doc_id, (i-1)//32)
+            SELECT doc_id, chunk_id, chunk_text FROM chunks
+            ORDER BY doc_id, chunk_id""",
+        "redact_pii": f"""
+            SELECT doc_id, {_redact} AS clean_text
+            FROM documents ORDER BY doc_id""",
         "sample_stratified": """
             SELECT doc_id, lang FROM documents
             WHERE (doc_id * 2654435761) % 1000000007 % 10

@@ -377,3 +377,55 @@ def top_ngrams(sf_dir: str, gram_n: int = 2, k: int = 20):
     partials = ds.map_batches(_partial, batch_format="pyarrow")
     agg = partials.groupby("gram").aggregate(Sum("n", alias_name="n"))
     return agg.sort(["n", "gram"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Training-prep ops: chunking + PII redaction (C4-style hygiene)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(sf_dir: str, chunk_tokens: int = 32):
+    """(doc_id, chunk_id, chunk_text) — split each doc's whitespace token
+    stream into consecutive ``chunk_tokens``-token windows (the training
+    sequence-prep fan-out). Reuses the SpanExploder kernel (vectorized
+    Arrow offsets arithmetic, one pass, no per-row Python); SQL-checked via
+    the same unnest+window oracle shape as span_dedup."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "chunk_id": t["ln"],
+                         "chunk_text": t["line"]})
+
+    return (docs.map_batches(SpanExploder(span_tokens=chunk_tokens),
+                             batch_format="pyarrow")
+            .map_batches(_rename, batch_format="pyarrow")
+            .sort(["doc_id", "chunk_id"]))
+
+
+# RE2 on the Arrow side, RE2 in DuckDB: the SAME pattern strings run in
+# both engines, which is what makes the oracle byte-exact.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d().-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_text(text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Replace emails / IPv4s / phone-shaped digit runs with typed tokens —
+    the standard pre-training PII hygiene pass, fully vectorized."""
+    u = pc.fill_null(_as_array(text), "")
+    for pat, token in PII_PATTERNS:
+        u = pc.replace_substring_regex(u, pat, token)
+    return u
+
+
+def redact_pii(sf_dir: str):
+    """(doc_id, clean_text) — PII-redacted documents table, SQL-checked
+    (DuckDB regexp_replace with the identical RE2 patterns)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return docs.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "clean_text": redact_text(t["text"])}),
+        batch_format="pyarrow").sort("doc_id")

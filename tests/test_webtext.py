@@ -164,3 +164,47 @@ def test_exploder_partitions_text(span_tokens, pattern):
         assert list(ln[mask]) == list(range(mask.sum()))
         assert (np.diff(pack[mask]) > 0).all()
     assert (pack == (ids.astype(np.int64) << 32 | ln)).all()
+
+
+def test_redact_text_planted_pii_and_duckdb_parity():
+    """Planted emails / IPs / phone runs: the Ray kernel redacts them, and
+    DuckDB applying the SAME pattern constants produces byte-identical
+    output (the real parity guarantee — the driver corpus has no PII)."""
+    import duckdb
+
+    from fuzzy_matcher_ray.pipelines.webtext import PII_PATTERNS, redact_text
+    texts = [
+        "contact john.doe+spam@ex-ample.co.uk today",
+        "server at 192.168.0.1 and 8.8.8.8 responded",
+        "call +1 (555) 123-4567 or 5551234567 now",  # second is 10 digits
+        "mixed a@b.io on 10.0.0.254 dial 555-123-9876",
+        "no pii here at all",
+        "",
+    ]
+    got = redact_text(pa.array(texts)).to_pylist()
+    assert "<EMAIL>" in got[0] and "@" not in got[0]
+    assert got[1].count("<IP>") == 2
+    assert "<PHONE>" in got[2]
+    assert "<EMAIL>" in got[3] and "<IP>" in got[3] and "<PHONE>" in got[3]
+    assert got[4] == texts[4] and got[5] == ""
+    expr = "t"
+    for pat, tok in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
+    con = duckdb.connect()
+    oracle = [r[0] for r in con.execute(
+        f"SELECT {expr} FROM (SELECT unnest(?) AS t)", [texts]).fetchall()]
+    con.close()
+    assert got == oracle
+
+
+def test_chunk_documents_shapes(ray_session):
+    """Chunking covers every token exactly once, in order."""
+    from fuzzy_matcher_ray.pipelines.webtext import chunk_documents
+    sf = "/root/testdata/sf0.001"
+    out = chunk_documents(sf, chunk_tokens=7).to_pandas()
+    import ray.data as rd
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"]).to_pandas()
+    joined = out.groupby("doc_id")["chunk_text"].apply(" ".join)
+    for did, text in zip(docs.doc_id, docs.text):
+        assert joined[did] == text
