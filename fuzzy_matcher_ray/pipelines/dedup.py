@@ -396,10 +396,19 @@ def jaccard_allpairs_clusters(docs, cfg: PipelineConfig | None = None,
         return pa.table({"sh": pa.array(uh.view(np.int64)),
                          "doc_id": pa.array(np.repeat(ids, uc))})
 
+    import ray.data as rd
+    if docs.limit(1).count() == 0:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "cluster_id": pa.array([], pa.int64())}))
     # two consumers (pair explode + size groupby) — pin blocks so the
     # normalize+shingle pass runs once, not once per consumer
     rows = docs.select_columns(["doc_id", "text"]).map_batches(
         _rows, batch_format="pyarrow").materialize()
+    if rows.count() == 0:
+        # no doc long enough to shingle — every doc is its own cluster
+        no_edges = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                           "b": pa.array([], pa.int64())}))
+        return cluster_edges(no_edges, docs.select_columns(["doc_id"]), cfg)
     # exactness requires every within-group pair: lift the skew cap (the
     # star+chain shortcut would silently drop cross-pairs of hot shingles)
     nocap = replace(cfg, max_band_group=1 << 30)

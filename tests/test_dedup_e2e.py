@@ -261,3 +261,22 @@ def test_shingle_set_artifact_parity(corpus):
     on = dict(zip(d_on.doc_id, d_on.cluster_id))
     off = dict(zip(d_off.doc_id, d_off.cluster_id))
     assert on == off
+
+
+def test_jaccard_allpairs_degenerate_inputs(ray_session):
+    """Empty table → empty result; all-short docs (nothing shingles) →
+    every doc a singleton. Neither crashes the join machinery."""
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.pipelines.dedup import jaccard_allpairs_clusters
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+    out = jaccard_allpairs_clusters(empty)
+    assert out.count() == 0
+    assert set(out.schema().names) == {"doc_id", "cluster_id"}
+    short = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["ab", "", None], pa.string())}))
+    df = jaccard_allpairs_clusters(short).to_pandas().sort_values("doc_id")
+    assert df.doc_id.tolist() == [1, 2, 3]
+    assert (df.doc_id == df.cluster_id).all()
