@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SRP-LSH scale path — approximate by design, rows-only (recall
         # gate lives in tests/test_knn.py)
         "embedding_dup_pairs_lsh": knn.embedding_dup_pairs_lsh,
+        "embedding_dup_clusters_lsh": knn.embedding_dup_clusters_lsh,
         # --- multimodal (REAL WAV/PPM decode, pytest round-trip oracle;
         #     codec formats remain honestly stubbed) ---
         "multimodal_decode": multimodal.decode_binary_docs,

@@ -367,3 +367,22 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
                          "cosine": pa.array(cos[keep])})
 
     return pairs.map_batches(_verify, batch_format="pyarrow").sort(["a", "b"])
+
+
+def embedding_dup_clusters_lsh(sf_dir: str, threshold: float = 0.9,
+                               n_bits: int = 8, n_tables: int = 12,
+                               seed: int = 0xE5D):
+    """Connected components over the SRP-LSH pair graph — the scale-path
+    composition of ``embedding_dup_pairs_lsh`` + the shared union-find
+    clustering; same output contract as ``embedding_dup_clusters``."""
+    from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.stages.cluster import cluster_edges
+    edges = embedding_dup_pairs_lsh(sf_dir, threshold, n_bits, n_tables,
+                                    seed).select_columns(["a", "b"])
+    nodes = _read(sf_dir).map_batches(
+        lambda t: pa.table({"doc_id": t["vec_id"]}), batch_format="pyarrow")
+    out = cluster_edges(edges, nodes, PipelineConfig())
+    return out.map_batches(
+        lambda t: pa.table({"vec_id": t["doc_id"],
+                            "cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow").sort("vec_id")

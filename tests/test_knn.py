@@ -126,3 +126,26 @@ def test_partial_topk_rounding_key_no_false_ties():
     sims = np.array([[0.256918], [0.256917]])
     out = _partial_topk(qi, ids, sims, k=1).to_pandas()
     assert out.neighbor_id.tolist() == [900]
+
+
+def test_embedding_lsh_clusters_match_exact(ray_session, tmp_path):
+    """At high threshold with planted tight dups, LSH clusters equal the
+    exact-pair-graph clusters."""
+    import pyarrow.parquet as pq
+
+    from fuzzy_matcher_ray.pipelines.knn import (embedding_dup_clusters,
+                                                 embedding_dup_clusters_lsh)
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((80, 24))
+    dups = base[:25] + 0.03 * rng.standard_normal((25, 24))
+    mat = np.vstack([base, dups])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+        "embedding": pa.array([r.astype(np.float32) for r in mat],
+                              pa.list_(pa.float32()))})
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    exact = embedding_dup_clusters(str(tmp_path), threshold=0.9).to_pandas()
+    lsh = embedding_dup_clusters_lsh(str(tmp_path), threshold=0.9).to_pandas()
+    assert exact.sort_values("vec_id").reset_index(drop=True).equals(
+        lsh.sort_values("vec_id").reset_index(drop=True))
