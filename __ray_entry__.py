@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": webtext.repetition_scores,
         "quality_filter": webtext.quality_filter,
         "sample_stratified": textops.sample_stratified,
+        "shuffle_epoch": textops.shuffle_epoch,
         "topk_per_source": textops.topk_per_source,
         # --- mutation surface (SQL-checked) ---
         "remove_tombstoned": textops.remove_tombstoned,
@@ -331,6 +332,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id, chunk_id""",
         "redact_pii": f"""
             SELECT doc_id, {_redact} AS clean_text
+            FROM documents ORDER BY doc_id""",
+        "shuffle_epoch": """
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY ((doc_id + 1) * 2654435761) % 1000000007,
+                              doc_id) - 1 AS shuffle_rank
             FROM documents ORDER BY doc_id""",
         "sample_stratified": """
             SELECT doc_id, lang FROM documents

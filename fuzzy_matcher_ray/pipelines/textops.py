@@ -218,3 +218,36 @@ def fingerprint_counts(sf_dir: str, cfg: PipelineConfig | None = None):
         return pa.table({"doc_id": t["doc_id"],
                          "n_fingerprints": pa.array(counts)})
     return _docs(sf_dir).map_batches(_f, batch_format="pyarrow").sort("doc_id")
+
+
+def shuffle_epoch(sf_dir: str, epoch: int = 1):
+    """(doc_id, shuffle_rank) — deterministic epoch shuffle order for
+    training: rank = position of doc_id under the Knuth multiplicative
+    hash salted by ``epoch``. A distributed range ``sort`` on the hash
+    (the standard epoch-shuffling pattern: different epoch → different
+    but reproducible permutation; no RNG state, resumable mid-epoch).
+    SQL-checked via row_number over the same non-wrapping arithmetic."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # doc_id < 2^31 and epoch small: products stay exact in int64
+        h = ((ids + epoch) * 2654435761) % 1000000007
+        return pa.table({"doc_id": t["doc_id"], "h": pa.array(h)})
+
+    keyed = ds.map_batches(_key, batch_format="pyarrow").sort(["h", "doc_id"])
+
+    # stamp the global rank: the range sort leaves blocks in key order, so
+    # rank = block offset prefix-sum + position. Blocks here are slim
+    # (8 B/row doc_id), so the driver stamps them directly; at 10^12 rows
+    # the same prefix-sum runs over block METADATA row counts and each
+    # block stamps itself in a map task (offsets broadcast by block index).
+    import ray
+    tables = [ray.get(r) for r in keyed.materialize().to_arrow_refs()]
+    out, start = [], 0
+    for tb in tables:
+        out.append(pa.table({
+            "doc_id": tb["doc_id"],
+            "shuffle_rank": pa.array(np.arange(start, start + len(tb)))}))
+        start += len(tb)
+    return rd.from_arrow([t for t in out if len(t)] or out).sort("doc_id")
