@@ -150,3 +150,71 @@ def test_remove_entries_golden(ray_session):
                 if mid in got:
                     failures.append(f"{label}: tombstoned id {mid} resurfaced")
     assert not failures, "\n".join(failures)
+
+
+def test_distance_tests_golden():
+    """distance_tests.json: the reference's similarity-kernel golden ranges
+    (≙ distance_calculator_test.go:148-192) — JaroWinkler / Levenshtein /
+    Default (constant 1.0), expected ± delta, via the `similarity` dispatch
+    registry (CalculationMethod parity)."""
+    from fuzzy_matcher_ray.functions.similarity import similarity
+    with open(f"{_DATA}/distance_tests.json") as f:
+        data = json.load(f)
+    method_of = {"jaro_winkler_tests": "jaro_winkler",
+                 "levenshtein_tests": "levenshtein",
+                 "default_tests": "exact"}
+    failures = []
+    for section, method in method_of.items():
+        for case in data[section]:
+            got = similarity(case["s1"], case["s2"], method)
+            delta = case.get("delta", 0.0)   # default_tests: exact 1.0
+            lo = case["expected"] - delta
+            hi = case["expected"] + delta
+            if not (lo - 1e-9 <= got <= hi + 1e-9):
+                failures.append(f"{section}/{case['name']}: "
+                                f"{got:.4f} outside [{lo}, {hi}]")
+    assert not failures, "\n".join(failures)
+
+
+def test_basic_tests_golden(ray_session):
+    """basic_tests.json: the reference's smallest e2e corpus — exact match
+    found with top score, typo'd query still finds the member, empty index
+    finds nothing, and the normalized entry keys match validation_data
+    (≙ CreateFuzzyEntry lowercase rule, example_source.go:104-120)."""
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.functions.normalize import normalize_text
+    from fuzzy_matcher_ray.pipelines.entity_match import match_entities
+    with open(f"{_DATA}/basic_tests.json") as f:
+        data = json.load(f)
+    members = data["basic_test_members"]
+    idx = pa.table({
+        "id": pa.array([int(m["id"]) for m in members], pa.int64()),
+        "firstname": pa.array([m["firstname"] for m in members]),
+        "surname": pa.array([m["surname"] for m in members]),
+        "birthdate": pa.array([m["birthdate"] for m in members]),
+    })
+    queries = data["test_queries"]
+
+    def _q(name):
+        q = queries[name]
+        return pa.table({
+            "query_id": pa.array([0], pa.int64()),
+            "firstname": pa.array([q["firstname"]]),
+            "surname": pa.array([q["surname"]]),
+            "birthdate": pa.array([q["birthdate"]]),
+        })
+
+    exact = match_entities(rd.from_arrow(idx), rd.from_arrow(_q("exact_match")),
+                           _CFG).to_pandas()
+    assert 1 in set(exact.rec_id) and exact.score.max() >= 0.95
+    fuzzy = match_entities(rd.from_arrow(idx), rd.from_arrow(_q("fuzzy_match")),
+                           _CFG).to_pandas()
+    assert 1 in set(fuzzy.rec_id)          # Jon/Smyth still finds John Smith
+    empty_idx = idx.slice(0, 0)
+    none = match_entities(rd.from_arrow(empty_idx),
+                          rd.from_arrow(_q("empty_search")), _CFG).to_pandas()
+    assert len(none) == 0                  # ≙ empty-trie negative
+    keys = data["validation_data"]["fuzzy_entry_keys"]
+    assert normalize_text(members[0]["firstname"]) == keys["firstname"]
+    assert normalize_text(members[0]["surname"]) == keys["surname"]
