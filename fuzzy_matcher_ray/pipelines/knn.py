@@ -187,21 +187,27 @@ def embedding_dup_pairs(sf_dir: str, threshold: float = 0.4):
     return ds.map_batches(_pairs, batch_format="pyarrow").sort(["a", "b"])
 
 
-def embedding_dup_clusters(sf_dir: str, threshold: float = 0.4):
-    """Embedding-cosine near-dup CLUSTERS: connected components over the
-    >= threshold pair graph; every vec_id appears once, singletons keep
-    their own id (same contract as the text dedup flagship)."""
+def _clusters_from_pair_graph(sf_dir: str, edges):
+    """Shared tail of the embedding cluster ops: union-find over an
+    (a, b) edge Dataset, every vec_id appears once (singletons keep
+    their own id — same contract as the text dedup flagship)."""
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.stages.cluster import cluster_edges
-    ds = _read(sf_dir)
-    edges = embedding_dup_pairs(sf_dir, threshold).select_columns(["a", "b"])
-    nodes = ds.map_batches(
+    nodes = _read(sf_dir).map_batches(
         lambda t: pa.table({"doc_id": t["vec_id"]}), batch_format="pyarrow")
     out = cluster_edges(edges, nodes, PipelineConfig())
     return out.map_batches(
         lambda t: pa.table({"vec_id": t["doc_id"],
                             "cluster_id": t["cluster_id"]}),
         batch_format="pyarrow").sort("vec_id")
+
+
+def embedding_dup_clusters(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-dup CLUSTERS: connected components over the
+    >= threshold exact pair graph."""
+    return _clusters_from_pair_graph(
+        sf_dir,
+        embedding_dup_pairs(sf_dir, threshold).select_columns(["a", "b"]))
 
 
 def _bucket_of(sig: np.ndarray) -> np.ndarray:
@@ -288,7 +294,7 @@ def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, bits: int = 2,
 
 def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
                             n_bits: int = 8, n_tables: int = 12,
-                            seed: int = 0xE5D):
+                            seed: int = 0xE5D, _sorted: bool = True):
     """Embedding near-dup pairs at scale: signed-random-projection LSH.
 
     The bucketed scale path for ``embedding_dup_pairs`` (whose broadcast
@@ -366,7 +372,10 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
                          "cosine": pa.array(cos[keep])})
 
-    return pairs.map_batches(_verify, batch_format="pyarrow").sort(["a", "b"])
+    verified = pairs.map_batches(_verify, batch_format="pyarrow")
+    # the sort is presentation for the query surface; callers that feed
+    # union-find (embedding_dup_clusters_lsh) skip it
+    return verified if not _sorted else verified.sort(["a", "b"])
 
 
 def embedding_dup_clusters_lsh(sf_dir: str, threshold: float = 0.9,
@@ -374,15 +383,9 @@ def embedding_dup_clusters_lsh(sf_dir: str, threshold: float = 0.9,
                                seed: int = 0xE5D):
     """Connected components over the SRP-LSH pair graph — the scale-path
     composition of ``embedding_dup_pairs_lsh`` + the shared union-find
-    clustering; same output contract as ``embedding_dup_clusters``."""
-    from fuzzy_matcher_ray.config import PipelineConfig
-    from fuzzy_matcher_ray.stages.cluster import cluster_edges
+    clustering; same output contract as ``embedding_dup_clusters``.
+    Skips the pair list's presentation sort (union-find is order-free)."""
     edges = embedding_dup_pairs_lsh(sf_dir, threshold, n_bits, n_tables,
-                                    seed).select_columns(["a", "b"])
-    nodes = _read(sf_dir).map_batches(
-        lambda t: pa.table({"doc_id": t["vec_id"]}), batch_format="pyarrow")
-    out = cluster_edges(edges, nodes, PipelineConfig())
-    return out.map_batches(
-        lambda t: pa.table({"vec_id": t["doc_id"],
-                            "cluster_id": t["cluster_id"]}),
-        batch_format="pyarrow").sort("vec_id")
+                                    seed, _sorted=False) \
+        .select_columns(["a", "b"])
+    return _clusters_from_pair_graph(sf_dir, edges)

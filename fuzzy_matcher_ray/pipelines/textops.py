@@ -228,6 +228,12 @@ def shuffle_epoch(sf_dir: str, epoch: int = 1):
     but reproducible permutation; no RNG state, resumable mid-epoch).
     SQL-checked via row_number over the same non-wrapping arithmetic."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    if ds.limit(1).count() == 0:
+        # empty input: the lazy sort keys would not resolve on a
+        # schema-less zero-block dataset
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "shuffle_rank": pa.array([], pa.int64())}))
 
     def _key(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -243,11 +249,15 @@ def shuffle_epoch(sf_dir: str, epoch: int = 1):
     # the same prefix-sum runs over block METADATA row counts and each
     # block stamps itself in a map task (offsets broadcast by block index).
     import ray
-    tables = [ray.get(r) for r in keyed.materialize().to_arrow_refs()]
+    tables = ray.get(list(keyed.materialize().to_arrow_refs()))
     out, start = [], 0
     for tb in tables:
         out.append(pa.table({
             "doc_id": tb["doc_id"],
             "shuffle_rank": pa.array(np.arange(start, start + len(tb)))}))
         start += len(tb)
-    return rd.from_arrow([t for t in out if len(t)] or out).sort("doc_id")
+    out = [t for t in out if len(t)]
+    if not out:     # empty input: pin the schema so .sort still resolves
+        out = [pa.table({"doc_id": pa.array([], pa.int64()),
+                         "shuffle_rank": pa.array([], pa.int64())})]
+    return rd.from_arrow(out).sort("doc_id")

@@ -388,9 +388,13 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 32):
     stream into consecutive ``chunk_tokens``-token windows (the training
     sequence-prep fan-out). Reuses the SpanExploder kernel (vectorized
     Arrow offsets arithmetic, one pass, no per-row Python); SQL-checked via
-    the same unnest+window oracle shape as span_dedup."""
+    the same unnest+window oracle shape as span_dedup. Null-text docs are
+    dropped — matching the oracle, where unnest(string_split(NULL))
+    produces no rows."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
+    docs = docs.map_batches(
+        lambda t: t.filter(pc.is_valid(t["text"])), batch_format="pyarrow")
 
     def _rename(t: pa.Table) -> pa.Table:
         return pa.table({"doc_id": t["doc_id"], "chunk_id": t["ln"],
@@ -404,17 +408,24 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 32):
 
 # RE2 on the Arrow side, RE2 in DuckDB: the SAME pattern strings run in
 # both engines, which is what makes the oracle byte-exact.
+# The phone pattern is deliberately CONSERVATIVE (3-3-4 groups with
+# separators, optional +country / (area)): a permissive "long digit run"
+# rule redacts ISO dates, decimals and version strings — corrupting far
+# more benign training text than the PII it catches. Bare unpunctuated
+# 10-digit runs are left alone for the same reason (order ids, hashes).
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    (r"\+?\d[\d().-]{7,}\d", "<PHONE>"),
+    (r"(?:\+\d{1,2}[ .-])?(?:\(\d{3}\)[ .-]?|\b\d{3}[ .-])\d{3}[ .-]\d{4}\b",
+     "<PHONE>"),
 )
 
 
 def redact_text(text: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Replace emails / IPv4s / phone-shaped digit runs with typed tokens —
-    the standard pre-training PII hygiene pass, fully vectorized."""
-    u = pc.fill_null(_as_array(text), "")
+    """Replace emails / IPv4s / phone numbers with typed tokens — the
+    standard pre-training PII hygiene pass, fully vectorized. Nulls
+    propagate (regexp over NULL is NULL — matching the SQL oracle)."""
+    u = _as_array(text)
     for pat, token in PII_PATTERNS:
         u = pc.replace_substring_regex(u, pat, token)
     return u

@@ -176,17 +176,22 @@ def test_redact_text_planted_pii_and_duckdb_parity():
     texts = [
         "contact john.doe+spam@ex-ample.co.uk today",
         "server at 192.168.0.1 and 8.8.8.8 responded",
-        "call +1 (555) 123-4567 or 5551234567 now",  # second is 10 digits
+        "call +1 (555) 123-4567 or (555)123-4567 now",
         "mixed a@b.io on 10.0.0.254 dial 555-123-9876",
         "no pii here at all",
         "",
+        # the conservative phone rule must NOT eat dates/decimals/versions
+        "released 2026-08-17, pi 3.14159, v1.2.3-400.5, order 5551234567",
+        None,
     ]
-    got = redact_text(pa.array(texts)).to_pylist()
+    got = redact_text(pa.array(texts, pa.string())).to_pylist()
     assert "<EMAIL>" in got[0] and "@" not in got[0]
     assert got[1].count("<IP>") == 2
-    assert "<PHONE>" in got[2]
+    assert got[2].count("<PHONE>") == 2 and "555" not in got[2]
     assert "<EMAIL>" in got[3] and "<IP>" in got[3] and "<PHONE>" in got[3]
     assert got[4] == texts[4] and got[5] == ""
+    assert got[6] == texts[6]      # benign numbers untouched
+    assert got[7] is None          # nulls propagate (SQL parity)
     expr = "t"
     for pat, tok in PII_PATTERNS:
         expr = f"regexp_replace({expr}, '{pat}', '{tok}', 'g')"
@@ -208,3 +213,35 @@ def test_chunk_documents_shapes(ray_session):
     joined = out.groupby("doc_id")["chunk_text"].apply(" ".join)
     for did, text in zip(docs.doc_id, docs.text):
         assert joined[did] == text
+
+
+def test_new_ops_degenerate_inputs(ray_session, tmp_path):
+    """Empty and null-text documents tables through chunk/redact/shuffle:
+    no crashes, and null semantics match the SQL oracles (null text ⇒ no
+    chunks; null clean_text; rank only over existing rows)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from fuzzy_matcher_ray.pipelines.textops import shuffle_epoch
+    from fuzzy_matcher_ray.pipelines.webtext import chunk_documents, redact_pii
+
+    empty_dir = tmp_path / "empty"
+    empty_dir.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())}),
+                   str(empty_dir / "documents.parquet"))
+    assert shuffle_epoch(str(empty_dir)).count() == 0
+    assert chunk_documents(str(empty_dir)).count() == 0
+    assert redact_pii(str(empty_dir)).count() == 0
+
+    null_dir = tmp_path / "nulls"
+    null_dir.mkdir()
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                             "text": pa.array(["a b c", None, ""],
+                                              pa.string())}),
+                   str(null_dir / "documents.parquet"))
+    chunks = chunk_documents(str(null_dir), chunk_tokens=2).to_pandas()
+    assert set(chunks.doc_id) == {1, 3}          # null doc dropped (SQL parity)
+    red = redact_pii(str(null_dir)).to_pandas()
+    assert red.clean_text.tolist()[:1] == ["a b c"]
+    assert red.clean_text.isna().tolist() == [False, True, False]
