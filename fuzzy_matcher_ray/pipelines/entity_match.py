@@ -47,6 +47,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from fuzzy_matcher_ray.config import EntityMatchConfig
+from fuzzy_matcher_ray.stages.candidates import dedup_pairs
 from fuzzy_matcher_ray.functions.normalize import (
     confusable_table, fold_array, normalize_array)
 from fuzzy_matcher_ray.functions.similarity import (
@@ -341,11 +342,16 @@ def match_entities(index_ds, query_ds, cfg: EntityMatchConfig | None = None,
     joined = q_keys.join(idx_keys, "inner", P, on=("field", "gram"),
                          left_suffix="_q", right_suffix="_i",
                          aggregator_ray_remote_args=JOIN_AGG_ARGS)
-    cands = joined.map_batches(
-        lambda t: pa.table({"query_id": t["rec_id_q"], "rec_id": t["rec_id_i"]}),
+    pairs = joined.map_batches(
+        lambda t: pa.table({"a": t["rec_id_q"], "b": t["rec_id_i"]}),
         batch_format="pyarrow")
-    cands = cands.groupby(["query_id", "rec_id"]).count() \
-                 .select_columns(["query_id", "rec_id"]).materialize()
+    # verify-once dedup via the shared pair helper: driver lexsort under
+    # the row threshold (a Ray hash groupby costs ~15 s fixed on one box),
+    # distributed groupby beyond — (a, b) are ORDERED (query, record)
+    # tuples here, which dedup_pairs preserves
+    cands = dedup_pairs(pairs).map_batches(
+        lambda t: pa.table({"query_id": t["a"], "rec_id": t["b"]}),
+        batch_format="pyarrow").materialize()
     if cands.count() == 0:
         return empty
     # attach field values of both sides
