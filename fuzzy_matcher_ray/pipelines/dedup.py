@@ -413,14 +413,28 @@ def jaccard_allpairs_clusters(docs, cfg: PipelineConfig | None = None,
     # star+chain shortcut would silently drop cross-pairs of hot shingles)
     nocap = replace(cfg, max_band_group=1 << 30)
     counted = count_pairs(key_pairs(rows, ["sh"], nocap, dedup=False))
-    sizes = rows.groupby("doc_id").count()
+    from fuzzy_matcher_ray.stages.candidates import DRIVER_EXPLODE_MAX_ROWS
+    if rows.count() <= DRIVER_EXPLODE_MAX_ROWS:
+        # per-doc set sizes via one driver bincount over the slim
+        # materialized doc_id column — skips a full Ray hash groupby
+        import ray as _ray
+        ids = np.concatenate([
+            tb["doc_id"].to_numpy(zero_copy_only=False)
+            for tb in _ray.get(list(rows.to_arrow_refs()))] or
+            [np.array([], dtype=np.int64)])
+        uniq, cnt = np.unique(ids, return_counts=True)
+        sizes = rd.from_arrow(pa.table({
+            "doc_id": pa.array(uniq.astype("int64")),
+            "nsh": pa.array(cnt.astype("int64"))}))
+    else:
+        sizes = rows.groupby("doc_id").count()
 
-    def _csize(t: pa.Table) -> pa.Table:
-        ccol = next(c for c in t.schema.names if c != "doc_id")
-        return pa.table({"doc_id": t["doc_id"],
-                         "nsh": pc.cast(t[ccol], pa.int64())})
+        def _csize(t: pa.Table) -> pa.Table:
+            ccol = next(c for c in t.schema.names if c != "doc_id")
+            return pa.table({"doc_id": t["doc_id"],
+                             "nsh": pc.cast(t[ccol], pa.int64())})
 
-    sizes = sizes.map_batches(_csize, batch_format="pyarrow")
+        sizes = sizes.map_batches(_csize, batch_format="pyarrow")
     withs = attach_columns(counted, sizes, "a", "doc_id", {"nsh": "na"})
     withs = attach_columns(withs, sizes, "b", "doc_id", {"nsh": "nb"})
 
