@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_alive_by_type": ev.events_alive_by_type,
         "user_hourly_windows": ev.user_hourly_windows,
         "user_sessions": ev.user_sessions,
+        "user_sliding_windows": ev.user_sliding_windows,
         # --- embeddings / similarity search (SQL-checked) ---
         "knn_topk": knn.knn_topk,
         "nearest_neighbor": knn.nearest_neighbor,
@@ -228,6 +229,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_events, round(sum(value), 6) AS total_value
             FROM events WHERE user_id < 40
             GROUP BY user_id, date_trunc('hour', ts)
+            ORDER BY user_id, window_start""",
+        "user_sliding_windows": """
+            WITH e AS (SELECT user_id, ts, value FROM events
+                       WHERE user_id < 40),
+            w AS (SELECT user_id, value,
+                         time_bucket(INTERVAL '15 minutes', ts)
+                           - j.j * INTERVAL '15 minutes' AS window_start
+                  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j)
+            SELECT user_id, window_start, count(*)::BIGINT AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM w GROUP BY user_id, window_start
             ORDER BY user_id, window_start""",
         "user_sessions": """
             WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 20),

@@ -9,6 +9,7 @@ applied on every Search).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -98,3 +99,47 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30, max_users: int = 20):
                          "n_events": pc.cast(t["n_events"], pa.int64())})
     return out.map_batches(_cast, batch_format="pyarrow").sort(
         ["user_id", "session_start"])
+
+
+def user_sliding_windows(sf_dir: str, size_minutes: int = 60,
+                         hop_minutes: int = 15, max_users: int = 40):
+    """Sliding windows (size 60 min, hop 15 min) per user:
+    (user_id, window_start, n_events, total_value).
+
+    The third standard window shape next to tumbling/session: with
+    size = k·hop each event belongs to exactly k windows, assigned by a
+    vectorized epoch-bucket explode inside ``map_batches`` (k rows out per
+    event, no Python loop), then the same partial-aggregate-then-small-
+    groupby as the tumbling path. SQL-checked against DuckDB time_bucket
+    (hop divides both engines' bucket origins, so floors agree)."""
+    from ray.data.aggregate import Count, Sum
+    assert size_minutes % hop_minutes == 0
+    k = size_minutes // hop_minutes
+    hop_us = hop_minutes * 60_000_000
+    ds = _events(sf_dir, ["ts", "user_id", "value"])
+
+    def _assign(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["user_id"], pa.scalar(max_users)))
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        base = (us // hop_us) * hop_us
+        starts = (base[:, None] - np.arange(k, dtype=np.int64) * hop_us) \
+            .reshape(-1)
+        uid = np.repeat(t["user_id"].to_numpy(zero_copy_only=False), k)
+        val = np.repeat(t["value"].to_numpy(zero_copy_only=False), k)
+        return pa.table({
+            "user_id": pa.array(uid),
+            "window_start": pa.array(starts).cast(pa.timestamp("us")),
+            "value": pa.array(val)})
+
+    assigned = ds.map_batches(_assign, batch_format="pyarrow")
+    out = assigned.groupby(["user_id", "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+
+    def _round(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "window_start": t["window_start"],
+            "n_events": t["n_events"],
+            "total_value": pc.round(t["total_value"], ndigits=6,
+                                    round_mode="half_towards_infinity")})
+    return out.map_batches(_round, batch_format="pyarrow").sort(
+        ["user_id", "window_start"])
