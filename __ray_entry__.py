@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_hourly_windows": ev.user_hourly_windows,
         "user_sessions": ev.user_sessions,
         "user_sliding_windows": ev.user_sliding_windows,
+        "asof_latest_prior": ev.asof_latest_prior,
         # --- embeddings / similarity search (SQL-checked) ---
         "knn_topk": knn.knn_topk,
         "nearest_neighbor": knn.nearest_neighbor,
@@ -241,6 +242,15 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS total_value
             FROM w GROUP BY user_id, window_start
             ORDER BY user_id, window_start""",
+        "asof_latest_prior": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 s AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'signup')
+            SELECT p.event_id, p.user_id, p.ts, s.ts AS prior_ts
+            FROM p ASOF LEFT JOIN s
+              ON p.user_id = s.user_id AND p.ts >= s.ts
+            ORDER BY p.event_id""",
         "user_sessions": """
             WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 20),
             l AS (SELECT user_id, ts,

@@ -143,3 +143,54 @@ def user_sliding_windows(sf_dir: str, size_minutes: int = 60,
                                     round_mode="half_towards_infinity")})
     return out.map_batches(_round, batch_format="pyarrow").sort(
         ["user_id", "window_start"])
+
+
+def asof_latest_prior(sf_dir: str, left_type: str = "purchase",
+                      right_type: str = "signup"):
+    """AS-OF JOIN: for every ``left_type`` event, the user's latest
+    ``right_type`` event at-or-before it (attribution join) —
+    (event_id, user_id, ts, prior_ts nullable).
+
+    Ray Data has no asof join; per the custom-operator rule this is the
+    ``map_batches`` + ``groupby(user).map_groups`` + sort composition: both
+    event streams co-locate by user in ONE hash shuffle, and the per-group
+    kernel is a single vectorized searchsorted (right side sorted by ts,
+    greatest right.ts <= left.ts, exactly DuckDB ASOF semantics).
+    Partitioning assumption: one user's events fit in a group block. The
+    DuckDB oracle is a native ASOF LEFT JOIN.
+    """
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def _sides(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        t = t.filter(keep)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"],
+            "is_left": pc.equal(t["event_type"], pa.scalar(left_type))})
+
+    def _asof(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        left = g["is_left"].to_numpy(zero_copy_only=False).astype(bool)
+        lt, rid = ts[left], g["event_id"].to_numpy(zero_copy_only=False)[left]
+        uid = g["user_id"].to_numpy(zero_copy_only=False)[left]
+        rt = np.sort(ts[~left])
+        if len(lt) == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "prior_ts": pa.array([], pa.timestamp("us"))})
+        idx = np.searchsorted(rt, lt, side="right") - 1
+        prior = pa.array(np.where(idx >= 0, rt[np.maximum(idx, 0)], 0)) \
+            .cast(pa.timestamp("us"))
+        prior = pc.if_else(pa.array(idx >= 0), prior,
+                           pa.scalar(None, pa.timestamp("us")))
+        return pa.table({
+            "event_id": pa.array(rid), "user_id": pa.array(uid),
+            "ts": pa.array(lt).cast(pa.timestamp("us")),
+            "prior_ts": prior})
+
+    out = (ds.map_batches(_sides, batch_format="pyarrow")
+           .groupby("user_id").map_groups(_asof, batch_format="pyarrow"))
+    return out.sort("event_id")
