@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": ev.user_sessions,
         "user_sliding_windows": ev.user_sliding_windows,
         "asof_latest_prior": ev.asof_latest_prior,
+        "range_join_count": ev.range_join_count,
         # --- embeddings / similarity search (SQL-checked) ---
         "knn_topk": knn.knn_topk,
         "nearest_neighbor": knn.nearest_neighbor,
@@ -251,6 +252,18 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF LEFT JOIN s
               ON p.user_id = s.user_id AND p.ts >= s.ts
             ORDER BY p.event_id""",
+        "range_join_count": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'error'),
+                 r AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click')
+            SELECT l.event_id, l.user_id, l.ts,
+                   count(r.ts)::BIGINT AS n_in_range
+            FROM l LEFT JOIN r
+              ON l.user_id = r.user_id
+             AND r.ts BETWEEN l.ts - INTERVAL 5 MINUTE AND l.ts
+            GROUP BY l.event_id, l.user_id, l.ts
+            ORDER BY l.event_id""",
         "user_sessions": """
             WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 20),
             l AS (SELECT user_id, ts,

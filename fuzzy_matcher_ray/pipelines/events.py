@@ -194,3 +194,51 @@ def asof_latest_prior(sf_dir: str, left_type: str = "purchase",
     out = (ds.map_batches(_sides, batch_format="pyarrow")
            .groupby("user_id").map_groups(_asof, batch_format="pyarrow"))
     return out.sort("event_id")
+
+
+def range_join_count(sf_dir: str, left_type: str = "error",
+                     right_type: str = "click", window_minutes: int = 5):
+    """Banded RANGE JOIN: for every ``left_type`` event, how many of the
+    user's ``right_type`` events fall in [ts - window, ts] —
+    (event_id, user_id, ts, n_in_range).
+
+    Same custom-operator composition as the as-of join (one user-keyed
+    hash shuffle, per-group kernel), but the kernel is TWO vectorized
+    searchsorteds (lo/hi) whose difference is the band count — no pair
+    materialization at all, so a hot user costs O(n log n), not O(n²).
+    DuckDB oracle: LEFT JOIN with a BETWEEN band + count aggregate.
+    """
+    win_us = window_minutes * 60_000_000
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def _sides(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        t = t.filter(keep)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"],
+            "is_left": pc.equal(t["event_type"], pa.scalar(left_type))})
+
+    def _count(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        left = g["is_left"].to_numpy(zero_copy_only=False).astype(bool)
+        lt = ts[left]
+        rid = g["event_id"].to_numpy(zero_copy_only=False)[left]
+        uid = g["user_id"].to_numpy(zero_copy_only=False)[left]
+        if len(lt) == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "n_in_range": pa.array([], pa.int64())})
+        rt = np.sort(ts[~left])
+        n = (np.searchsorted(rt, lt, side="right")
+             - np.searchsorted(rt, lt - win_us, side="left"))
+        return pa.table({
+            "event_id": pa.array(rid), "user_id": pa.array(uid),
+            "ts": pa.array(lt).cast(pa.timestamp("us")),
+            "n_in_range": pa.array(n.astype("int64"))})
+
+    out = (ds.map_batches(_sides, batch_format="pyarrow")
+           .groupby("user_id").map_groups(_count, batch_format="pyarrow"))
+    return out.sort("event_id")
