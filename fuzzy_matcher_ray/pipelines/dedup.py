@@ -413,15 +413,14 @@ def jaccard_allpairs_clusters(docs, cfg: PipelineConfig | None = None,
     # star+chain shortcut would silently drop cross-pairs of hot shingles)
     nocap = replace(cfg, max_band_group=1 << 30)
     counted = count_pairs(key_pairs(rows, ["sh"], nocap, dedup=False))
-    from fuzzy_matcher_ray.stages.candidates import DRIVER_EXPLODE_MAX_ROWS
+    from fuzzy_matcher_ray.stages.candidates import (DRIVER_EXPLODE_MAX_ROWS,
+                                                     _collect_driver_table)
     if rows.count() <= DRIVER_EXPLODE_MAX_ROWS:
         # per-doc set sizes via one driver bincount over the slim
         # materialized doc_id column — skips a full Ray hash groupby
-        import ray as _ray
-        ids = np.concatenate([
-            tb["doc_id"].to_numpy(zero_copy_only=False)
-            for tb in _ray.get(list(rows.to_arrow_refs()))] or
-            [np.array([], dtype=np.int64)])
+        t = _collect_driver_table(rows, ["doc_id"])
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) if t is not None \
+            else np.array([], dtype=np.int64)
         uniq, cnt = np.unique(ids, return_counts=True)
         sizes = rd.from_arrow(pa.table({
             "doc_id": pa.array(uniq.astype("int64")),

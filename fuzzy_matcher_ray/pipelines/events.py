@@ -124,12 +124,14 @@ def user_sliding_windows(sf_dir: str, size_minutes: int = 60,
         base = (us // hop_us) * hop_us
         starts = (base[:, None] - np.arange(k, dtype=np.int64) * hop_us) \
             .reshape(-1)
-        uid = np.repeat(t["user_id"].to_numpy(zero_copy_only=False), k)
-        val = np.repeat(t["value"].to_numpy(zero_copy_only=False), k)
+        # replicate rows via Arrow take (NOT numpy repeat: a null value
+        # would become NaN and poison the window Sum, diverging from the
+        # oracle's null-ignoring sum)
+        rep = pa.array(np.repeat(np.arange(len(t), dtype=np.int64), k))
         return pa.table({
-            "user_id": pa.array(uid),
+            "user_id": pc.take(t["user_id"], rep),
             "window_start": pa.array(starts).cast(pa.timestamp("us")),
-            "value": pa.array(val)})
+            "value": pc.take(t["value"], rep)})
 
     assigned = ds.map_batches(_assign, batch_format="pyarrow")
     out = assigned.groupby(["user_id", "window_start"]).aggregate(
@@ -143,6 +145,40 @@ def user_sliding_windows(sf_dir: str, size_minutes: int = 60,
                                     round_mode="half_towards_infinity")})
     return out.map_batches(_round, batch_format="pyarrow").sort(
         ["user_id", "window_start"])
+
+
+def _sides_projector(left_type: str, right_type: str):
+    """Shared pre-shuffle projection of the custom join ops: keep the two
+    event streams, mark sides."""
+    def _sides(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array([left_type, right_type]))
+        t = t.filter(keep)
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "ts": t["ts"],
+            "is_left": pc.equal(t["event_type"], pa.scalar(left_type))})
+    return _sides
+
+
+def _split_group(g: pa.Table):
+    """Per-group split for the join kernels: (left ts, left event ids,
+    left user ids, SORTED right ts). Sorting happens only when there are
+    left rows to serve (right-only groups return before paying it)."""
+    ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+    left = g["is_left"].to_numpy(zero_copy_only=False).astype(bool)
+    lt = ts[left]
+    rid = g["event_id"].to_numpy(zero_copy_only=False)[left]
+    uid = g["user_id"].to_numpy(zero_copy_only=False)[left]
+    rt = np.sort(ts[~left]) if len(lt) else ts[:0]
+    return lt, rid, uid, rt
+
+
+def _empty_join_result(extra_col: str, extra_type) -> pa.Table:
+    return pa.table({"event_id": pa.array([], pa.int64()),
+                     "user_id": pa.array([], pa.int64()),
+                     "ts": pa.array([], pa.timestamp("us")),
+                     extra_col: pa.array([], extra_type)})
 
 
 def asof_latest_prior(sf_dir: str, left_type: str = "purchase",
@@ -161,37 +197,25 @@ def asof_latest_prior(sf_dir: str, left_type: str = "purchase",
     """
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
-    def _sides(t: pa.Table) -> pa.Table:
-        keep = pc.is_in(t["event_type"],
-                        value_set=pa.array([left_type, right_type]))
-        t = t.filter(keep)
-        return pa.table({
-            "event_id": t["event_id"], "user_id": t["user_id"],
-            "ts": t["ts"],
-            "is_left": pc.equal(t["event_type"], pa.scalar(left_type))})
-
     def _asof(g: pa.Table) -> pa.Table:
-        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        left = g["is_left"].to_numpy(zero_copy_only=False).astype(bool)
-        lt, rid = ts[left], g["event_id"].to_numpy(zero_copy_only=False)[left]
-        uid = g["user_id"].to_numpy(zero_copy_only=False)[left]
-        rt = np.sort(ts[~left])
+        lt, rid, uid, rt = _split_group(g)
         if len(lt) == 0:
-            return pa.table({"event_id": pa.array([], pa.int64()),
-                             "user_id": pa.array([], pa.int64()),
-                             "ts": pa.array([], pa.timestamp("us")),
-                             "prior_ts": pa.array([], pa.timestamp("us"))})
+            return _empty_join_result("prior_ts", pa.timestamp("us"))
         idx = np.searchsorted(rt, lt, side="right") - 1
-        prior = pa.array(np.where(idx >= 0, rt[np.maximum(idx, 0)], 0)) \
-            .cast(pa.timestamp("us"))
-        prior = pc.if_else(pa.array(idx >= 0), prior,
-                           pa.scalar(None, pa.timestamp("us")))
+        if len(rt) == 0:      # left events, no right events: all-null priors
+            prior = pa.nulls(len(lt), pa.timestamp("us"))
+        else:
+            prior = pa.array(np.where(idx >= 0, rt[np.maximum(idx, 0)], 0)) \
+                .cast(pa.timestamp("us"))
+            prior = pc.if_else(pa.array(idx >= 0), prior,
+                               pa.scalar(None, pa.timestamp("us")))
         return pa.table({
             "event_id": pa.array(rid), "user_id": pa.array(uid),
             "ts": pa.array(lt).cast(pa.timestamp("us")),
             "prior_ts": prior})
 
-    out = (ds.map_batches(_sides, batch_format="pyarrow")
+    out = (ds.map_batches(_sides_projector(left_type, right_type),
+                          batch_format="pyarrow")
            .groupby("user_id").map_groups(_asof, batch_format="pyarrow"))
     return out.sort("event_id")
 
@@ -211,27 +235,10 @@ def range_join_count(sf_dir: str, left_type: str = "error",
     win_us = window_minutes * 60_000_000
     ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
 
-    def _sides(t: pa.Table) -> pa.Table:
-        keep = pc.is_in(t["event_type"],
-                        value_set=pa.array([left_type, right_type]))
-        t = t.filter(keep)
-        return pa.table({
-            "event_id": t["event_id"], "user_id": t["user_id"],
-            "ts": t["ts"],
-            "is_left": pc.equal(t["event_type"], pa.scalar(left_type))})
-
     def _count(g: pa.Table) -> pa.Table:
-        ts = pc.cast(g["ts"], pa.int64()).to_numpy(zero_copy_only=False)
-        left = g["is_left"].to_numpy(zero_copy_only=False).astype(bool)
-        lt = ts[left]
-        rid = g["event_id"].to_numpy(zero_copy_only=False)[left]
-        uid = g["user_id"].to_numpy(zero_copy_only=False)[left]
+        lt, rid, uid, rt = _split_group(g)
         if len(lt) == 0:
-            return pa.table({"event_id": pa.array([], pa.int64()),
-                             "user_id": pa.array([], pa.int64()),
-                             "ts": pa.array([], pa.timestamp("us")),
-                             "n_in_range": pa.array([], pa.int64())})
-        rt = np.sort(ts[~left])
+            return _empty_join_result("n_in_range", pa.int64())
         n = (np.searchsorted(rt, lt, side="right")
              - np.searchsorted(rt, lt - win_us, side="left"))
         return pa.table({
@@ -239,6 +246,7 @@ def range_join_count(sf_dir: str, left_type: str = "error",
             "ts": pa.array(lt).cast(pa.timestamp("us")),
             "n_in_range": pa.array(n.astype("int64"))})
 
-    out = (ds.map_batches(_sides, batch_format="pyarrow")
+    out = (ds.map_batches(_sides_projector(left_type, right_type),
+                          batch_format="pyarrow")
            .groupby("user_id").map_groups(_count, batch_format="pyarrow"))
     return out.sort("event_id")

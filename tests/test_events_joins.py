@@ -1,0 +1,78 @@
+"""Custom join/window operators over events: degenerate-group semantics the
+driver fixtures don't exercise (the contract suite covers the happy path)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value)"""
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+MIN = 60_000_000
+
+
+def test_asof_user_without_right_side(ray_session, tmp_path):
+    """A user whose first (and only) events are purchases must get NULL
+    prior_ts, not an IndexError (ASOF LEFT JOIN semantics)."""
+    from fuzzy_matcher_ray.pipelines.events import asof_latest_prior
+    sf = _write_events(tmp_path, [
+        (1, 10 * MIN, 7, "purchase", 1.0),     # user 7: no signup at all
+        (2, 5 * MIN, 8, "signup", 1.0),
+        (3, 9 * MIN, 8, "purchase", 1.0),      # user 8: prior at 5min
+        (4, 2 * MIN, 9, "purchase", 1.0),      # user 9: signup AFTER buy
+        (5, 6 * MIN, 9, "signup", 1.0),
+    ])
+    out = asof_latest_prior(sf).to_pandas().set_index("event_id")
+    assert out.loc[1].prior_ts is None or out.loc[1].isna().prior_ts
+    assert out.loc[3].prior_ts == np.datetime64(5 * MIN, "us")
+    assert out.loc[4].isna().prior_ts        # right exists but only later
+
+
+def test_range_join_counts_band(ray_session, tmp_path):
+    from fuzzy_matcher_ray.pipelines.events import range_join_count
+    sf = _write_events(tmp_path, [
+        (1, 10 * MIN, 1, "error", 1.0),
+        (2, 6 * MIN, 1, "click", 1.0),     # inside [5,10]
+        (3, 4 * MIN, 1, "click", 1.0),     # outside
+        (4, 10 * MIN, 1, "click", 1.0),    # boundary: inclusive
+        (5, 3 * MIN, 2, "error", 1.0),     # user 2: no clicks
+    ])
+    out = range_join_count(sf).to_pandas().set_index("event_id")
+    assert out.loc[1].n_in_range == 2
+    assert out.loc[5].n_in_range == 0
+
+
+def test_sliding_windows_null_value(ray_session, tmp_path):
+    """A NULL value must not poison the window sums (oracle sums ignore
+    NULLs); count still includes the row."""
+    import duckdb
+
+    from fuzzy_matcher_ray.pipelines.events import user_sliding_windows
+    rows = [(1, 10 * MIN, 1, "view", 2.5), (2, 12 * MIN, 1, "view", None),
+            (3, 40 * MIN, 1, "view", 4.0)]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = user_sliding_windows(str(tmp_path)).to_pandas()
+    assert not out.total_value.isna().any()
+    # the [0, 60min) window holds all three events; the null contributes to
+    # the count but not the sum
+    w0 = out[out.window_start == np.datetime64(0, "us")]
+    assert w0.n_events.tolist() == [3] and w0.total_value.tolist() == [6.5]
