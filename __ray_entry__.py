@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sliding_windows": ev.user_sliding_windows,
         "asof_latest_prior": ev.asof_latest_prior,
         "range_join_count": ev.range_join_count,
+        "value_quantiles": ev.value_quantiles,
         # --- embeddings / similarity search (SQL-checked) ---
         "knn_topk": knn.knn_topk,
         "nearest_neighbor": knn.nearest_neighbor,
@@ -252,6 +253,15 @@ def oracle_sql() -> dict[str, str]:
             FROM p ASOF LEFT JOIN s
               ON p.user_id = s.user_id AND p.ts >= s.ts
             ORDER BY p.event_id""",
+        "value_quantiles": """
+            SELECT 0.25 AS q, quantile_cont(value, 0.25) AS value FROM events
+            UNION ALL
+            SELECT 0.5, quantile_cont(value, 0.5) FROM events
+            UNION ALL
+            SELECT 0.75, quantile_cont(value, 0.75) FROM events
+            UNION ALL
+            SELECT 0.9, quantile_cont(value, 0.9) FROM events
+            ORDER BY q""",
         "range_join_count": """
             WITH l AS (SELECT event_id, user_id, ts FROM events
                        WHERE event_type = 'error'),

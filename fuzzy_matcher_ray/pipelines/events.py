@@ -250,3 +250,41 @@ def range_join_count(sf_dir: str, left_type: str = "error",
                           batch_format="pyarrow")
            .groupby("user_id").map_groups(_count, batch_format="pyarrow"))
     return out.sort("event_id")
+
+
+def value_quantiles(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)):
+    """(q, value) — EXACT continuous quantiles of events.value, matching
+    DuckDB ``quantile_cont`` bit-for-bit.
+
+    Distributed shape: range ``sort`` on value, block-offset prefix-sum
+    locates the two order statistics each quantile interpolates between,
+    only those ≤ 2·|qs| rows leave the cluster, and the driver does the
+    linear interpolation h = (n-1)·q. The exact-order-statistic analogue
+    of a mergeable quantile sketch (at 10^12 rows swap in per-batch
+    histogram partials; this path is the oracle-checkable anchor)."""
+    import ray
+    ds = _events(sf_dir, ["value"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t["value"])), batch_format="pyarrow")
+    blocks = ds.sort("value").materialize()
+    tables = ray.get(list(blocks.to_arrow_refs()))
+    sizes = np.array([len(t) for t in tables], dtype=np.int64)
+    n = int(sizes.sum())
+    if n == 0:
+        return rd.from_arrow(pa.table({"q": pa.array([], pa.float64()),
+                                       "value": pa.array([], pa.float64())}))
+    offs = np.concatenate(([0], np.cumsum(sizes)))
+    out_q, out_v = [], []
+    for q in qs:
+        h = (n - 1) * q
+        lo, hi = int(np.floor(h)), int(np.ceil(h))
+
+        def _at(i: int) -> float:
+            b = int(np.searchsorted(offs, i, side="right") - 1)
+            return float(tables[b]["value"][i - int(offs[b])].as_py())
+
+        vlo = _at(lo)
+        v = vlo if hi == lo else vlo + (h - lo) * (_at(hi) - vlo)
+        out_q.append(q)
+        out_v.append(v)
+    return rd.from_arrow(pa.table({"q": pa.array(out_q, pa.float64()),
+                                   "value": pa.array(out_v, pa.float64())}))
