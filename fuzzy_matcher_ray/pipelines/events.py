@@ -265,23 +265,34 @@ def value_quantiles(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)):
     import ray
     ds = _events(sf_dir, ["value"]).map_batches(
         lambda t: t.filter(pc.is_valid(t["value"])), batch_format="pyarrow")
-    blocks = ds.sort("value").materialize()
-    tables = ray.get(list(blocks.to_arrow_refs()))
-    sizes = np.array([len(t) for t in tables], dtype=np.int64)
+    refs = ds.sort("value").materialize().to_arrow_refs()
+    # block row counts WITHOUT fetching data: one tiny remote len() per
+    # block (runs where the block lives); only the blocks that actually
+    # hold a needed order statistic are pulled to the driver afterwards
+    count = ray.remote(num_cpus=0)(lambda tb: len(tb))
+    sizes = np.array(ray.get([count.remote(r) for r in refs]), dtype=np.int64)
     n = int(sizes.sum())
     if n == 0:
         return rd.from_arrow(pa.table({"q": pa.array([], pa.float64()),
                                        "value": pa.array([], pa.float64())}))
     offs = np.concatenate(([0], np.cumsum(sizes)))
+    positions = []
+    for q in qs:
+        h = (n - 1) * q
+        positions += [int(np.floor(h)), int(np.ceil(h))]
+    need = {int(np.searchsorted(offs, i, side="right") - 1)
+            for i in positions}
+    fetched = dict(zip(sorted(need),
+                       ray.get([refs[b] for b in sorted(need)])))
+
+    def _at(i: int) -> float:
+        b = int(np.searchsorted(offs, i, side="right") - 1)
+        return float(fetched[b]["value"][i - int(offs[b])].as_py())
+
     out_q, out_v = [], []
     for q in qs:
         h = (n - 1) * q
         lo, hi = int(np.floor(h)), int(np.ceil(h))
-
-        def _at(i: int) -> float:
-            b = int(np.searchsorted(offs, i, side="right") - 1)
-            return float(tables[b]["value"][i - int(offs[b])].as_py())
-
         vlo = _at(lo)
         v = vlo if hi == lo else vlo + (h - lo) * (_at(hi) - vlo)
         out_q.append(q)
