@@ -254,13 +254,14 @@ def oracle_sql() -> dict[str, str]:
               ON p.user_id = s.user_id AND p.ts >= s.ts
             ORDER BY p.event_id""",
         "value_quantiles": """
-            SELECT 0.25 AS q, quantile_cont(value, 0.25) AS value FROM events
+            SELECT 0.25::DOUBLE AS q, quantile_cont(value, 0.25) AS value
+            FROM events
             UNION ALL
-            SELECT 0.5, quantile_cont(value, 0.5) FROM events
+            SELECT 0.5::DOUBLE, quantile_cont(value, 0.5) FROM events
             UNION ALL
-            SELECT 0.75, quantile_cont(value, 0.75) FROM events
+            SELECT 0.75::DOUBLE, quantile_cont(value, 0.75) FROM events
             UNION ALL
-            SELECT 0.9, quantile_cont(value, 0.9) FROM events
+            SELECT 0.9::DOUBLE, quantile_cont(value, 0.9) FROM events
             ORDER BY q""",
         "range_join_count": """
             WITH l AS (SELECT event_id, user_id, ts FROM events

@@ -83,14 +83,13 @@ def cmd_dedup(args) -> dict:
 
 
 def cmd_span_dedup(args) -> dict:
-    from fuzzy_matcher_ray.pipelines.webtext import dedup_spans
+    from fuzzy_matcher_ray.pipelines.webtext import dedup_spans, line_dedup
     from fuzzy_matcher_ray.state.checkpoint import write_atomic
 
     docs = _source(args.source, args.input).select_columns(
         ["doc_id", "text"])
     t0 = time.perf_counter()
-    out = (dedup_spans(docs, span_tokens=None, pattern="\n")
-           if args.mode == "line"
+    out = (line_dedup(docs) if args.mode == "line"
            else dedup_spans(docs, span_tokens=args.span_tokens))
     write_atomic(out, args.output)
     wall = time.perf_counter() - t0

@@ -273,28 +273,30 @@ def value_quantiles(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)):
     sizes = np.array(ray.get([count.remote(r) for r in refs]), dtype=np.int64)
     n = int(sizes.sum())
     if n == 0:
-        return rd.from_arrow(pa.table({"q": pa.array([], pa.float64()),
-                                       "value": pa.array([], pa.float64())}))
+        # ungrouped-aggregate semantics: one (q, NULL) row per quantile,
+        # exactly what quantile_cont over zero rows yields in the oracle
+        return rd.from_arrow(pa.table({
+            "q": pa.array(list(qs), pa.float64()),
+            "value": pa.nulls(len(qs), pa.float64())}))
     offs = np.concatenate(([0], np.cumsum(sizes)))
-    positions = []
-    for q in qs:
-        h = (n - 1) * q
-        positions += [int(np.floor(h)), int(np.ceil(h))]
-    need = {int(np.searchsorted(offs, i, side="right") - 1)
-            for i in positions}
-    fetched = dict(zip(sorted(need),
-                       ray.get([refs[b] for b in sorted(need)])))
-
-    def _at(i: int) -> float:
-        b = int(np.searchsorted(offs, i, side="right") - 1)
-        return float(fetched[b]["value"][i - int(offs[b])].as_py())
-
+    positions = sorted({int(f((n - 1) * q))
+                        for q in qs for f in (np.floor, np.ceil)})
+    # fetch each order statistic as a SCALAR via a remote pick where the
+    # block lives — the blocks themselves never cross to the driver
+    pick = ray.remote(num_cpus=0)(lambda tb, j: tb["value"][j].as_py())
+    picked = ray.get([
+        pick.remote(refs[int(np.searchsorted(offs, i, side="right") - 1)],
+                    i - int(offs[np.searchsorted(offs, i, "right") - 1]))
+        for i in positions])
+    at = dict(zip(positions, (float(v) for v in picked)))
     out_q, out_v = [], []
     for q in qs:
         h = (n - 1) * q
         lo, hi = int(np.floor(h)), int(np.ceil(h))
-        vlo = _at(lo)
-        v = vlo if hi == lo else vlo + (h - lo) * (_at(hi) - vlo)
+        frac = h - lo
+        # symmetric lerp — quantile_cont's exact float expression; the
+        # one-sided vlo + frac*(vhi-vlo) differs in the last ulp
+        v = at[lo] if hi == lo else at[lo] * (1 - frac) + at[hi] * frac
         out_q.append(q)
         out_v.append(v)
     return rd.from_arrow(pa.table({"q": pa.array(out_q, pa.float64()),
