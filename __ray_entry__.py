@@ -131,12 +131,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
-_NORM = "regexp_replace(lower(text), '[^a-zA-Z0-9]+', '', 'g')"
-_STOP_HITS = " + ".join(
-    f"(length(text) - length(replace(text, ' {w} ', ''))) // {len(w) + 2}"
-    for w in ("the", "and", "of", "to", "in"))
-_NTOK = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
-         "length(regexp_split_to_array(trim(text), '[ \t\n\r]+')) END")
+def _norm_of(col: str = "text") -> str:
+    return f"regexp_replace(lower({col}), '[^a-zA-Z0-9]+', '', 'g')"
+
+
+def _stop_hits_of(col: str = "text") -> str:
+    return " + ".join(
+        f"(length({col}) - length(replace({col}, ' {w} ', ''))) // {len(w) + 2}"
+        for w in ("the", "and", "of", "to", "in"))
+
+
+def _ntok_of(col: str = "text") -> str:
+    return (f"CASE WHEN trim({col}) = '' THEN 0 ELSE "
+            f"length(regexp_split_to_array(trim({col}), '[ \t\n\r]+')) END")
+
+
+_NORM = _norm_of()
+_STOP_HITS = _stop_hits_of()
+_NTOK = _ntok_of()
+# quality/dedup gates define NULL text == empty doc on BOTH engines (the
+# kernels fill nulls, these oracle expressions coalesce) — asserted by
+# tests/test_null_text_parity.py. normalize_text itself stays
+# null-propagating (its oracle returns NULL for NULL text).
+_COAL = "coalesce(text, '')"
 
 
 _PROBES_CTE = """
@@ -169,26 +186,27 @@ def oracle_sql() -> dict[str, str]:
         "normalize_text":
             f"SELECT doc_id, {_NORM} AS norm_text FROM documents ORDER BY doc_id",
         "exact_dedup_first":
-            f"SELECT min(doc_id) AS doc_id FROM documents GROUP BY {_NORM} "
-            "ORDER BY doc_id",
+            f"SELECT min(doc_id) AS doc_id FROM documents "
+            f"GROUP BY {_norm_of(_COAL)} ORDER BY doc_id",
         "exact_clusters":
-            f"SELECT doc_id, min(doc_id) OVER (PARTITION BY {_NORM}) AS cluster_id "
+            f"SELECT doc_id, min(doc_id) OVER "
+            f"(PARTITION BY {_norm_of(_COAL)}) AS cluster_id "
             "FROM documents ORDER BY doc_id",
         "token_counts":
             f"SELECT doc_id, ({_NTOK})::BIGINT AS n_tokens FROM documents "
             "ORDER BY doc_id",
         "text_quality": f"""
             SELECT doc_id,
-                   length(text)::BIGINT AS n_chars_total,
-                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_alpha,
-                   length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
-                   (length(text) - length(replace(text, ' ', '')))::BIGINT AS n_space,
-                   ({_STOP_HITS})::BIGINT AS stop_hits,
-                   (CASE WHEN length(text) < 20 OR ({_NTOK}) < 4 THEN 0
-                         WHEN ({_STOP_HITS}) = 0 THEN 1 ELSE 2 END)::BIGINT AS tier
+                   length({_COAL})::BIGINT AS n_chars_total,
+                   length(regexp_replace({_COAL}, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_alpha,
+                   length(regexp_replace({_COAL}, '[^0-9]', '', 'g'))::BIGINT AS n_digit,
+                   (length({_COAL}) - length(replace({_COAL}, ' ', '')))::BIGINT AS n_space,
+                   ({_stop_hits_of(_COAL)})::BIGINT AS stop_hits,
+                   (CASE WHEN length({_COAL}) < 20 OR ({_ntok_of(_COAL)}) < 4 THEN 0
+                         WHEN ({_stop_hits_of(_COAL)}) = 0 THEN 1 ELSE 2 END)::BIGINT AS tier
             FROM documents ORDER BY doc_id""",
         "lang_guess":
-            f"SELECT doc_id, CASE WHEN ({_STOP_HITS}) > 0 THEN 'en' ELSE 'other' END"
+            f"SELECT doc_id, CASE WHEN ({_stop_hits_of(_COAL)}) > 0 THEN 'en' ELSE 'other' END"
             " AS lang_guess FROM documents ORDER BY doc_id",
         "topk_longest":
             "SELECT doc_id, n_chars FROM documents "
@@ -425,7 +443,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d LEFT JOIN c USING (doc_id)
             WHERE ({_NTOK}) >= 5 AND ({_STOP_HITS}) >= 1
               AND coalesce(c.dups, 0) <= 8
-            ORDER BY d.doc_id""".format(_NTOK=_NTOK, _STOP_HITS=_STOP_HITS),
+            ORDER BY d.doc_id""".format(_NTOK=_ntok_of(_COAL),
+                                        _STOP_HITS=_stop_hits_of(_COAL)),
         "decontaminate": """
             WITH toks AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS w,

@@ -33,6 +33,16 @@ def normalized_text(sf_dir: str):
     return _docs(sf_dir).map_batches(_f, batch_format="pyarrow")
 
 
+def _filled_norm(sf_dir: str):
+    """normalized_text with NULLs filled to '': the dedup gates define a
+    null doc as an empty doc (both engines — the oracles coalesce), and a
+    null groupby key would crash Ray's sort-based shuffle partitioning."""
+    return normalized_text(sf_dir).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "norm_text": pc.fill_null(t["norm_text"], "")}),
+        batch_format="pyarrow")
+
+
 def exact_dedup_first(sf_dir: str):
     """Keep the min doc_id per normalized text (exact dedup winner list).
 
@@ -41,7 +51,7 @@ def exact_dedup_first(sf_dir: str):
     string keys keep the SQL oracle exact.
     """
     from ray.data.aggregate import Min
-    ds = normalized_text(sf_dir)
+    ds = _filled_norm(sf_dir)
     kept = ds.groupby("norm_text").aggregate(Min("doc_id", alias_name="doc_id"))
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
@@ -49,7 +59,7 @@ def exact_dedup_first(sf_dir: str):
 def exact_clusters(sf_dir: str):
     """(doc_id, cluster_id) where cluster_id = min doc_id sharing norm text."""
     from ray.data.aggregate import Min
-    ds = normalized_text(sf_dir)
+    ds = _filled_norm(sf_dir)
     reps = ds.groupby("norm_text").aggregate(Min("doc_id", alias_name="cluster_id"))
     from fuzzy_matcher_ray.stages.joins import attach_columns
     out = attach_columns(ds, reps, "norm_text", "norm_text",
@@ -72,9 +82,10 @@ def text_quality(sf_dir: str):
     example_source.go:84-101).
     """
     def _f(t: pa.Table) -> pa.Table:
-        cls = char_classes(t["text"])
-        hits = stopword_hits(t["text"])
-        toks = token_count(t["text"])
+        text = pc.fill_null(t["text"], "")   # null doc == empty doc
+        cls = char_classes(text)
+        hits = stopword_hits(text)
+        toks = token_count(text)
         tier = quality_tier(
             toks.to_numpy(zero_copy_only=False).astype(np.int64),
             cls["n_chars_total"].to_numpy(zero_copy_only=False).astype(np.int64),
@@ -94,7 +105,7 @@ def text_quality(sf_dir: str):
 def lang_guess(sf_dir: str):
     """(doc_id, lang_guess) — stopword-hit heuristic ('en' vs 'other')."""
     def _f(t: pa.Table) -> pa.Table:
-        hits = stopword_hits(t["text"])
+        hits = stopword_hits(pc.fill_null(t["text"], ""))
         guess = pc.if_else(pc.greater(hits, pa.scalar(0)),
                            pa.scalar("en"), pa.scalar("other"))
         return pa.table({"doc_id": t["doc_id"], "lang_guess": guess})

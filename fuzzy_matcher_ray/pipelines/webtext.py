@@ -110,6 +110,10 @@ def dedup_spans(docs, *, span_tokens: int | None = 10, pattern: str = "\n"):
     from ray.data.aggregate import Min
 
     exploder = SpanExploder(span_tokens, pattern)
+    # null-text docs contribute no spans (string_split(NULL) drops the row
+    # in the SQL oracle); empty strings still yield one empty span
+    docs = docs.map_batches(
+        lambda t: t.filter(pc.is_valid(t["text"])), batch_format="pyarrow")
     ex = docs.map_batches(exploder, batch_format="pyarrow")
     # materialize the aggregated winner table: the groupby is a barrier
     # anyway, and both attach_columns' size probe and the join itself
@@ -342,7 +346,7 @@ def quality_filter(sf_dir: str, min_tokens: int = 5, min_stop_hits: int = 1,
                          columns=["doc_id", "text"])
 
     def _f(t: pa.Table) -> pa.Table:
-        text = _as_array(t["text"])
+        text = pc.fill_null(_as_array(t["text"]), "")  # null doc == empty
         toks = token_count(text).to_numpy(zero_copy_only=False)
         stops = stopword_hits(text).to_numpy(zero_copy_only=False)
         n, nd = _bigram_counts(text, len(t))
