@@ -117,9 +117,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk_ivf": knn.knn_topk_ivf,
         "embedding_dup_clusters": knn.embedding_dup_clusters,
         # SRP-LSH scale path — approximate by design, rows-only (recall
-        # gate lives in tests/test_knn.py)
-        "embedding_dup_pairs_lsh": knn.embedding_dup_pairs_lsh,
-        "embedding_dup_clusters_lsh": knn.embedding_dup_clusters_lsh,
+        # gate + broadcast/join verify parity live in tests/test_knn.py).
+        # Contract params are NON-VACUOUS at the driver's sf0.01: threshold
+        # 0.4 has 59 exact pairs there (0.9 has none — max off-diag cosine
+        # is ~0.6), and 4 bits × 16 tables gives ~0.94 expected SRP recall
+        # at cosine 0.4, so this row checks real rows.
+        "embedding_dup_pairs_lsh":
+            lambda d: knn.embedding_dup_pairs_lsh(d, threshold=0.4,
+                                                  n_bits=4, n_tables=16),
+        "embedding_dup_clusters_lsh":
+            lambda d: knn.embedding_dup_clusters_lsh(d, threshold=0.4,
+                                                     n_bits=4, n_tables=16),
         # --- multimodal (REAL WAV/PPM decode, pytest round-trip oracle;
         #     codec formats remain honestly stubbed) ---
         "multimodal_decode": multimodal.decode_binary_docs,

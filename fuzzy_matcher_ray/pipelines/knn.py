@@ -292,9 +292,30 @@ def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, bits: int = 2,
     return _merge_topk(scored, k)
 
 
+# Verify-side broadcast gate for the SRP-LSH pass: below this many vectors
+# the whole normalized matrix ships once via ray.put and pairs stay 16 B/row
+# through the shuffle; above it vectors are hash-JOINED onto the pairs by id
+# (the attach_pair_texts pattern) so nothing ever materializes driver-side.
+_VERIFY_BROADCAST_MAX_ROWS = 1_000_000
+
+_EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+
+
+def _list_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> column (offset-safe)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(col)
+    return flat.reshape(n, len(flat) // max(1, n))
+
+
 def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
                             n_bits: int = 8, n_tables: int = 12,
-                            seed: int = 0xE5D, _sorted: bool = True):
+                            seed: int = 0xE5D, _sorted: bool = True,
+                            verify_strategy: str = "auto"):
     """Embedding near-dup pairs at scale: signed-random-projection LSH.
 
     The bucketed scale path for ``embedding_dup_pairs`` (whose broadcast
@@ -308,12 +329,14 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
     give >= 0.98 expected recall at cosine 0.9 (recall gate in
     tests/test_knn.py).
 
-    Scale shape: hyperplanes are seeded constants rebuilt per worker (no
-    broadcast needed); bucket rows are slim (table:int8, bucket:int64,
-    vec_id); the verify stage gathers both vectors from a broadcast
-    normalized matrix (small side here; at 10^12 vectors the same verify
-    runs after a hash join attaching vectors by id — same pattern as the
-    text passes' attach_pair_texts).
+    Scale shape: hyperplanes are seeded constants rebuilt per worker from
+    (seed, dim) — never broadcast; bucket rows are slim (table:int8,
+    bucket:int64, vec_id). ``verify_strategy`` picks how the verify stage
+    gets its vectors: ``"broadcast"`` ships the normalized matrix once via
+    ``ray.put`` (small side); ``"join"`` hash-joins both vectors onto the
+    pairs by id (``stages/joins.attach_columns`` shuffle path — nothing
+    whole-dataset ever reaches the driver); ``"auto"`` gates on row count.
+    Both paths are byte-identical (tests/test_knn.py parity test).
     """
     from dataclasses import replace
 
@@ -321,15 +344,11 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
     from fuzzy_matcher_ray.stages.candidates import key_pairs
 
     ds = _read(sf_dir)
-    full = ds.to_pandas()
-    ids_all = full["vec_id"].to_numpy().astype(np.int64)
-    mat_all = _normalize_rows(
-        np.stack(full["embedding"].to_numpy()).astype(np.float64))
-    order = np.argsort(ids_all)
-    ref = ray.put((ids_all[order], mat_all[order]))
-    dim = mat_all.shape[1]
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_tables, dim, n_bits))
+    if verify_strategy == "auto":
+        # parquet-metadata count — no data scan
+        verify_strategy = ("broadcast"
+                           if ds.count() <= _VERIFY_BROADCAST_MAX_ROWS
+                           else "join")
     weights = (1 << np.arange(n_bits, dtype=np.int64))
 
     def _bucket_rows(t: pa.Table) -> pa.Table:
@@ -339,6 +358,10 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
                              "bucket": pa.array([], pa.int64()),
                              "doc_id": pa.array([], pa.int64())})
         mn = _normalize_rows(m)
+        # seeded constants, rebuilt per worker: identical on every task,
+        # nothing broadcast (cost: one tiny standard_normal per batch)
+        planes = np.random.default_rng(seed).standard_normal(
+            (n_tables, m.shape[1], n_bits))
         tables, buckets, docs = [], [], []
         for ti in range(n_tables):
             bits = (mn @ planes[ti]) >= 0.0                # (n, bits) signs
@@ -357,14 +380,31 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
     pairs = key_pairs(rows, ["table", "bucket"],
                       replace(PipelineConfig(), max_band_group=1 << 30))
 
+    if verify_strategy == "join":
+        verified = _verify_pairs_join(pairs, ds, threshold)
+    else:
+        verified = _verify_pairs_broadcast(pairs, ds, threshold)
+    # the sort is presentation for the query surface; callers that feed
+    # union-find (embedding_dup_clusters_lsh) skip it
+    return verified if not _sorted else verified.sort(["a", "b"])
+
+
+def _verify_pairs_broadcast(pairs, ds, threshold: float):
+    """Exact-cosine verify, small-side shape: the normalized matrix ships
+    once (``ray.put``), pairs stay 16 B/row, per-batch searchsorted gather."""
+    full = ds.to_pandas()
+    ids_all = full["vec_id"].to_numpy().astype(np.int64)
+    mat_all = _normalize_rows(
+        np.stack(full["embedding"].to_numpy()).astype(np.float64))
+    order = np.argsort(ids_all)
+    ref = ray.put((ids_all[order], mat_all[order]))
+
     def _verify(t: pa.Table) -> pa.Table:
         ai, am = ray.get(ref)
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
         if len(a) == 0:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "cosine": pa.array([], pa.float64())})
+            return _EMPTY_PAIRS
         va = am[np.searchsorted(ai, a)]
         vb = am[np.searchsorted(ai, b)]
         cos = _round6(np.einsum("ij,ij->i", va, vb))
@@ -372,20 +412,109 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
         return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep]),
                          "cosine": pa.array(cos[keep])})
 
-    verified = pairs.map_batches(_verify, batch_format="pyarrow")
-    # the sort is presentation for the query surface; callers that feed
-    # union-find (embedding_dup_clusters_lsh) skip it
-    return verified if not _sorted else verified.sort(["a", "b"])
+    return pairs.map_batches(_verify, batch_format="pyarrow")
+
+
+class _VecsAsBytes:
+    """(vec_id, <col>: binary) — the embedding row as raw float64 bytes.
+    Arrow hash joins reject list-typed payload columns, so vectors travel
+    the join as fixed-width binary (one vectorized buffer build, no
+    per-row Python). The output column is PRE-NAMED for its join side:
+    post-join ``rename_columns`` emits inconsistent schemas on empty join
+    partitions (observed Ray 2.49), so no rename may happen downstream."""
+
+    def __init__(self, col: str):
+        self.col = col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        m = np.ascontiguousarray(m)
+        w = m.shape[1] * 8 if len(ids) else 0
+        offsets = pa.array((np.arange(len(ids) + 1, dtype=np.int64) * w)
+                           .astype(np.int32))
+        vec = pa.Array.from_buffers(
+            pa.binary(), len(ids),
+            [None, offsets.buffers()[1], pa.py_buffer(m.tobytes())])
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                         self.col: vec})
+
+
+def _bytes_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Inverse of ``_vecs_as_bytes``: binary column → (n, dim) float64,
+    offset-safe vectorized gather (join output offsets may be non-trivial)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    from fuzzy_matcher_ray.functions.shingle import string_buffer
+    data, offsets = string_buffer(col)
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0))
+    w = int(offsets[1] - offsets[0])
+    idx = offsets[:-1][:, None] + np.arange(w, dtype=np.int64)[None, :]
+    return np.ascontiguousarray(data[idx]).view(np.float64)
+
+
+def _verify_pairs_join(pairs, ds, threshold: float):
+    """Exact-cosine verify, scale shape: both vectors hash-JOINED onto the
+    pairs by id (two ``attach_columns`` shuffle joins — the attach_pair_texts
+    pattern, stages/verify.py:52), then a per-batch normalized einsum. The
+    embeddings Dataset streams into the join; the driver never holds the
+    matrix. Byte-identical to the broadcast path (row normalization and the
+    pair dot product are row-local float64 ops on the same values)."""
+    from fuzzy_matcher_ray.stages.joins import (JOIN_AGG_ARGS,
+                                                effective_partitions)
+    pairs = pairs.materialize()        # join barrier anyway; guards empty-side
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(_EMPTY_PAIRS)
+    P = effective_partitions(32)
+    # value columns are PRE-NAMED per side (see _VecsAsBytes): no post-join
+    # rename/select is needed (Ray drops the right key column itself)
+    for side in ("a", "b"):
+        vecs = ds.map_batches(_VecsAsBytes(f"vec_{side}"),
+                              batch_format="pyarrow")
+        pairs = pairs.join(vecs, "inner", P, on=(side,),
+                           right_on=("vec_id",), left_suffix="",
+                           right_suffix="_r",
+                           aggregator_ray_remote_args=JOIN_AGG_ARGS)
+        if side == "a" and n_pairs < 100_000:
+            # Ray 2.49: feeding one join's output straight into another
+            # crashes when a partition receives no left shard (the
+            # aggregator builds a schema-less empty table; ArrowInvalid
+            # "no match for FieldRef"). Only possible when pairs are far
+            # fewer than partitions — rebuild blocks cheaply in that
+            # small-data regime; at scale every partition is nonempty.
+            pairs = pairs.repartition(2)
+
+    def _verify(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _EMPTY_PAIRS
+        va = _normalize_rows(_bytes_matrix(t["vec_a"]))
+        vb = _normalize_rows(_bytes_matrix(t["vec_b"]))
+        cos = _round6(np.einsum("ij,ij->i", va, vb))
+        keep = cos >= threshold
+        return pa.table({
+            "a": pc_take_np(t["a"], keep), "b": pc_take_np(t["b"], keep),
+            "cosine": pa.array(cos[keep])})
+
+    return pairs.map_batches(_verify, batch_format="pyarrow")
+
+
+def pc_take_np(col, mask: np.ndarray) -> pa.Array:
+    """int64 column filtered by a numpy bool mask, null-safe."""
+    return pa.array(col.to_numpy(zero_copy_only=False)[mask], pa.int64())
 
 
 def embedding_dup_clusters_lsh(sf_dir: str, threshold: float = 0.9,
                                n_bits: int = 8, n_tables: int = 12,
-                               seed: int = 0xE5D):
+                               seed: int = 0xE5D,
+                               verify_strategy: str = "auto"):
     """Connected components over the SRP-LSH pair graph — the scale-path
     composition of ``embedding_dup_pairs_lsh`` + the shared union-find
     clustering; same output contract as ``embedding_dup_clusters``.
     Skips the pair list's presentation sort (union-find is order-free)."""
     edges = embedding_dup_pairs_lsh(sf_dir, threshold, n_bits, n_tables,
-                                    seed, _sorted=False) \
+                                    seed, _sorted=False,
+                                    verify_strategy=verify_strategy) \
         .select_columns(["a", "b"])
     return _clusters_from_pair_graph(sf_dir, edges)

@@ -149,3 +149,61 @@ def test_embedding_lsh_clusters_match_exact(ray_session, tmp_path):
     lsh = embedding_dup_clusters_lsh(str(tmp_path), threshold=0.9).to_pandas()
     assert exact.sort_values("vec_id").reset_index(drop=True).equals(
         lsh.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_embedding_lsh_verify_join_parity(ray_session, tmp_path):
+    """The verify stage's two vector-delivery shapes — broadcast matrix vs
+    hash-join attach (the 10^12-vector scale path) — must be byte-identical
+    on pairs AND clusters (round-2 verdict item 1)."""
+    import pyarrow.parquet as pq
+
+    from fuzzy_matcher_ray.pipelines.knn import (embedding_dup_clusters_lsh,
+                                                 embedding_dup_pairs_lsh)
+
+    rng = np.random.default_rng(23)
+    base = rng.standard_normal((90, 16))
+    dups = base[:30] + 0.04 * rng.standard_normal((30, 16))
+    mat = np.vstack([base, dups])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(mat), dtype=np.int64)),
+        "embedding": pa.array([r.astype(np.float32) for r in mat],
+                              pa.list_(pa.float32()))})
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    bc = embedding_dup_pairs_lsh(str(tmp_path), threshold=0.9,
+                                 verify_strategy="broadcast").to_pandas()
+    jn = embedding_dup_pairs_lsh(str(tmp_path), threshold=0.9,
+                                 verify_strategy="join").to_pandas()
+    assert len(bc) > 0, "parity test corpus produced no pairs — vacuous"
+    bc = bc.sort_values(["a", "b"]).reset_index(drop=True)
+    jn = jn.sort_values(["a", "b"]).reset_index(drop=True)
+    assert bc.equals(jn)
+
+    cb = embedding_dup_clusters_lsh(str(tmp_path), threshold=0.9,
+                                    verify_strategy="broadcast").to_pandas()
+    cj = embedding_dup_clusters_lsh(str(tmp_path), threshold=0.9,
+                                    verify_strategy="join").to_pandas()
+    assert cb.sort_values("vec_id").reset_index(drop=True).equals(
+        cj.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_embedding_lsh_join_empty_pairs(ray_session, tmp_path):
+    """Join-path verify with zero candidate pairs must return an empty
+    (a, b, cosine) table, not crash on an empty join side."""
+    import pyarrow.parquet as pq
+
+    from fuzzy_matcher_ray.pipelines.knn import embedding_dup_pairs_lsh
+
+    # orthogonal one-hot vectors: no two share any SRP bucket across enough
+    # tables to matter, and none verify at 0.99 anyway
+    mat = np.eye(8, dtype=np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(8, dtype=np.int64)),
+        "embedding": pa.array([r for r in mat], pa.list_(pa.float32()))})
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    out = embedding_dup_pairs_lsh(str(tmp_path), threshold=0.99,
+                                  verify_strategy="join").to_pandas()
+    assert len(out) == 0
+    # Ray's sort over an all-empty dataset may drop the schema entirely;
+    # if columns survive they must be the contract ones
+    assert set(out.columns) in (set(), {"a", "b", "cosine"})
