@@ -97,7 +97,37 @@ class SpanExploder:
 
 def _keep_winners(t: pa.Table) -> pa.Table:
     mask = pc.equal(t["pack"], t["win"])
-    return t.filter(mask).select(["doc_id", "ln", "line"])
+    # pack = (doc_id << 32) | ln: one sort key for the rebuild stage below
+    return t.filter(mask).select(["doc_id", "line", "pack"])
+
+
+def _segmented_rebuild(t: pa.Table, joiner: str,
+                       skip_first_last: bool) -> pa.Table:
+    """Docs rebuilt from pack-sorted surviving span rows, fully vectorized:
+    doc segments come from one np.diff over doc_id, the joined text from one
+    ``ListArray.from_arrays`` (zero-copy values slice) + ``binary_join``.
+    With ``skip_first_last`` the block's first and last doc are left for the
+    boundary pass (their rows may straddle block edges)."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "kept_text": pa.array([], pa.string())})
+    if len(t) == 0:
+        return empty
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    brk = np.nonzero(ids[1:] != ids[:-1])[0] + 1
+    starts = np.concatenate(([0], brk))
+    ends = np.concatenate((brk, [len(ids)]))
+    if skip_first_last:
+        starts, ends = starts[1:-1], ends[1:-1]
+    if len(starts) == 0:
+        return empty
+    lines = _as_array(t["line"])
+    lo, hi = int(starts[0]), int(ends[-1])
+    # interior segments are contiguous in values order — one zero-copy slice
+    offsets = (np.concatenate((starts, [hi])) - lo).astype(np.int32)
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                  lines.slice(lo, hi - lo))
+    return pa.table({"doc_id": pa.array(ids[starts]),
+                     "kept_text": pc.binary_join(la, joiner)})
 
 
 def dedup_spans(docs, *, span_tokens: int | None = 10, pattern: str = "\n"):
@@ -126,16 +156,35 @@ def dedup_spans(docs, *, span_tokens: int | None = 10, pattern: str = "\n"):
     kept = kept.map_batches(_keep_winners, batch_format="pyarrow")
 
     joiner = exploder.joiner
+    # rebuild — one range sort on pack (== (doc_id, ln) lexicographic) then
+    # a per-BLOCK segmented binary_join: zero per-doc Python dispatch (the
+    # round-2 map_groups rebuild cost ~1 ms per doc — untenable at 10^9
+    # docs). Docs whose rows may straddle block edges (each block's first /
+    # last doc) are skipped per block and re-joined from a tiny collected
+    # side-set, the stages/candidates._sorted_explode boundary pattern.
+    sorted_kept = kept.sort("pack").materialize()
 
-    def _rebuild(g: pa.Table) -> pa.Table:
-        order = pc.sort_indices(g, sort_keys=[("ln", "ascending")])
-        lines = pc.take(g["line"], order)
-        return pa.table({
-            "doc_id": pa.array([g["doc_id"][0].as_py()], pa.int64()),
-            "kept_text": pa.array([joiner.join(lines.to_pylist())]),
-        })
+    interior = sorted_kept.map_batches(
+        lambda t: _segmented_rebuild(t, joiner, skip_first_last=True),
+        batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
-    return kept.groupby("doc_id").map_groups(_rebuild, batch_format="pyarrow")
+    def _boundary(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((ids == ids[0]) | (ids == ids[-1])))
+
+    b_parts = list(sorted_kept.map_batches(_boundary, batch_format="pyarrow",
+                                           batch_size=None)
+                   .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if b_parts:
+        bt = pa.concat_tables(b_parts).combine_chunks()
+        if len(bt):
+            bt = bt.take(pc.sort_indices(bt["pack"]))
+            bdocs = _segmented_rebuild(bt, joiner, skip_first_last=False)
+            if len(bdocs):
+                interior = interior.union(rd.from_arrow(bdocs))
+    return interior
 
 
 def span_dedup(sf_dir: str, span_tokens: int = 10):

@@ -245,3 +245,46 @@ def test_new_ops_degenerate_inputs(ray_session, tmp_path):
     red = redact_pii(str(null_dir)).to_pandas()
     assert red.clean_text.tolist()[:1] == ["a b c"]
     assert red.clean_text.isna().tolist() == [False, True, False]
+
+
+def test_span_rebuild_block_boundaries(ray_session):
+    """The vectorized rebuild (sort-on-pack + per-block segmented
+    binary_join) must be exact when doc rows straddle block edges: force
+    many input blocks so the sorted explode splits docs mid-block, and
+    compare against a driver-side pandas oracle."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.pipelines.webtext import dedup_spans
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    texts, ids = [], []
+    for i in range(120):
+        # long docs (many spans each) with heavy cross-doc span repetition
+        toks = [vocab[int(x)] for x in rng.integers(0, 4, 40)]
+        texts.append(" ".join(toks))
+        ids.append(i)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts)})).repartition(16)
+    got = dedup_spans(docs, span_tokens=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # oracle: global first-occurrence per span, rebuild in (doc, ln) order
+    seen, want = {}, {}
+    for i, t in zip(ids, texts):
+        toks = t.split(" ")
+        for ln in range(0, -(-len(toks) // 3)):
+            span = " ".join(toks[ln * 3:(ln + 1) * 3])
+            if span not in seen:
+                seen[span] = (i, ln)
+    for span, (i, ln) in seen.items():
+        want.setdefault(i, []).append((ln, span))
+    import pandas as pd
+    exp = pd.DataFrame(
+        [(i, " ".join(s for _, s in sorted(v))) for i, v in want.items()],
+        columns=["doc_id", "kept_text"]).sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got.equals(exp)
