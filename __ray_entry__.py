@@ -302,7 +302,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.event_id, l.user_id, l.ts
             ORDER BY l.event_id""",
         "user_sessions": """
-            WITH e AS (SELECT user_id, ts FROM events WHERE user_id < 20),
+            WITH e AS (SELECT user_id, ts FROM events),
             l AS (SELECT user_id, ts,
                          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                                    > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk

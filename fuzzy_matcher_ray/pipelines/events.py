@@ -72,33 +72,107 @@ def user_hourly_windows(sf_dir: str, max_users: int = 40):
         ["user_id", "window_start"])
 
 
-def user_sessions(sf_dir: str, gap_minutes: int = 30, max_users: int = 20):
-    """Session windows: per-user ts-sorted scan, session breaks at gaps >
-    ``gap_minutes``. (user_id, session_start, n_events) — the per-key ordered
-    ``map_groups`` pattern for stateful stream semantics."""
+# driver-side stitch threshold for the sessionizer: partial sessions are
+# session-count-proportional (events collapse inside blocks first), so the
+# stitch input is tiny relative to the log; same 16M-slim-row convention as
+# the dedup driver fast paths (each partial row is 32 B)
+_STITCH_MAX_ROWS = 16_000_000
+
+
+def _merge_partial_sessions(uid: np.ndarray, first: np.ndarray,
+                            last: np.ndarray, nev: np.ndarray,
+                            gap_us: int):
+    """Vectorized gap-merge of (user, first_ts, last_ts, n) partial-session
+    rows SORTED by (user, first_ts): adjacent rows of one user merge when the
+    next first is within ``gap_us`` of the previous last (partials of one
+    user are non-overlapping time ranges, so adjacency is the full rule)."""
+    n = len(uid)
+    brk = np.ones(n, dtype=bool)
+    if n > 1:
+        brk[1:] = (uid[1:] != uid[:-1]) | (first[1:] - last[:-1] > gap_us)
+    starts = np.nonzero(brk)[0]
+    return uid[starts], first[starts], np.add.reduceat(nev, starts)
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30,
+                  max_users: int | None = None):
+    """Session windows over the FULL user range: session breaks at gaps >
+    ``gap_minutes``. (user_id, session_start, n_events).
+
+    Scale shape (no per-user Python dispatch — the round-2 version was one
+    pandas call per user): one range sort on (user_id, ts), then a per-BLOCK
+    vectorized gap-cumsum emits PARTIAL sessions (user, first, last, n) —
+    session-count-proportional, events never leave their block — and a final
+    stitch merges partials across block edges with the same vectorized rule.
+    The stitch runs on the driver under ``_STITCH_MAX_ROWS`` (32 B/row);
+    beyond it the identical kernel runs per user-group over the partial rows
+    (groupby dispatch cost is then per SESSION-chain, not per event).
+    """
+    gap_us = gap_minutes * 60_000_000
     ds = _events(sf_dir, ["ts", "user_id"])
+    if max_users is not None:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.less(t["user_id"], pa.scalar(max_users))),
+            batch_format="pyarrow")
+    sorted_ds = ds.sort(["user_id", "ts"]).materialize()
 
-    def _pre(t: pa.Table) -> pa.Table:
-        return t.filter(pc.less(t["user_id"], pa.scalar(max_users)))
+    def _partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "first": pa.array([], pa.int64()),
+                             "last": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        brk = np.ones(len(uid), dtype=bool)
+        brk[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        starts = np.nonzero(brk)[0]
+        ends = np.append(starts[1:], len(uid)) - 1
+        return pa.table({
+            "user_id": pa.array(uid[starts]),
+            "first": pa.array(ts[starts]),
+            "last": pa.array(ts[ends]),
+            "n_events": pa.array((ends - starts + 1).astype(np.int64))})
 
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        sid = gap.cumsum()
-        out = g.groupby(sid).agg(session_start=("ts", "min"),
-                                 n_events=("ts", "size"))
-        out["user_id"] = g["user_id"].iloc[0]
-        return out.reset_index(drop=True)[["user_id", "session_start", "n_events"]]
+    partials = sorted_ds.map_batches(_partials, batch_format="pyarrow",
+                                     batch_size=None, zero_copy_batch=True) \
+        .materialize()
 
-    out = ds.map_batches(_pre, batch_format="pyarrow") \
-            .groupby("user_id").map_groups(_sessions, batch_format="pandas")
+    def _out_table(uid, first, nev) -> pa.Table:
+        return pa.table({
+            "user_id": pa.array(uid),
+            "session_start": pa.array(first).cast(pa.timestamp("us")),
+            "n_events": pa.array(nev.astype(np.int64))})
 
-    def _cast(t: pa.Table) -> pa.Table:
-        return pa.table({"user_id": t["user_id"],
-                         "session_start": t["session_start"],
-                         "n_events": pc.cast(t["n_events"], pa.int64())})
-    return out.map_batches(_cast, batch_format="pyarrow").sort(
-        ["user_id", "session_start"])
+    if partials.count() <= _STITCH_MAX_ROWS:
+        t = pa.concat_tables(partials.iter_batches(batch_size=1 << 20,
+                                                   batch_format="pyarrow")) \
+            if partials.count() else None
+        if t is None:
+            return rd.from_arrow(_out_table(
+                np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64)))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        first = t["first"].to_numpy(zero_copy_only=False)
+        last = t["last"].to_numpy(zero_copy_only=False)
+        nev = t["n_events"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((first, uid))
+        u, f, n = _merge_partial_sessions(uid[order], first[order],
+                                          last[order], nev[order], gap_us)
+        out = rd.from_arrow(_out_table(u, f, n))
+    else:   # distributed twin: same kernel per user over partial rows
+        def _stitch(g: pa.Table) -> pa.Table:
+            uid = g["user_id"].to_numpy(zero_copy_only=False)
+            first = g["first"].to_numpy(zero_copy_only=False)
+            last = g["last"].to_numpy(zero_copy_only=False)
+            nev = g["n_events"].to_numpy(zero_copy_only=False)
+            order = np.argsort(first, kind="stable")
+            u, f, n = _merge_partial_sessions(uid[order], first[order],
+                                              last[order], nev[order], gap_us)
+            return _out_table(u, f, n)
+        out = partials.groupby("user_id").map_groups(_stitch,
+                                                     batch_format="pyarrow")
+    return out.sort(["user_id", "session_start"])
 
 
 def user_sliding_windows(sf_dir: str, size_minutes: int = 60,

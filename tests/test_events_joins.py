@@ -76,3 +76,57 @@ def test_sliding_windows_null_value(ray_session, tmp_path):
     # the count but not the sum
     w0 = out[out.window_start == np.datetime64(0, "us")]
     assert w0.n_events.tolist() == [3] and w0.total_value.tolist() == [6.5]
+
+
+def test_user_sessions_block_boundaries_and_twin(ray_session, monkeypatch):
+    """The vectorized sessionizer must be exact when one user's events
+    straddle sorted-block edges, and the distributed stitch twin must equal
+    the driver stitch byte-for-byte."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.pipelines import events as ev
+
+    rng = np.random.default_rng(9)
+    rows = []
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    for u in range(7):
+        t = base + np.timedelta64(int(rng.integers(0, 10**6)), "us")
+        for _ in range(400):       # long per-user streams -> straddle blocks
+            step_min = int(rng.choice([1, 5, 29, 31, 90]))
+            t = t + np.timedelta64(step_min, "m")
+            rows.append((u, t))
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    tbl = pa.table({"user_id": pa.array(df.user_id, pa.int64()),
+                    "ts": pa.array(df.ts).cast(pa.timestamp("us"))})
+
+    def fake_events(sf_dir, columns=None):
+        return rd.from_arrow(tbl).repartition(16)
+
+    monkeypatch.setattr(ev, "_events", fake_events)
+    got = ev.user_sessions("ignored").to_pandas()
+
+    # pandas oracle
+    def _oracle(g):
+        g = g.sort_values("ts")
+        sid = (g["ts"].diff() > pd.Timedelta(minutes=30)).cumsum()
+        out = g.groupby(sid).agg(session_start=("ts", "min"),
+                                 n_events=("ts", "size"))
+        out["user_id"] = g["user_id"].iloc[0]
+        return out.reset_index(drop=True)
+    exp = (df.groupby("user_id", group_keys=False)[df.columns]
+           .apply(_oracle)
+           .sort_values(["user_id", "session_start"])
+           .reset_index(drop=True)[["user_id", "session_start", "n_events"]])
+    got2 = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    exp = exp.astype({"n_events": "int64",
+                      "session_start": "datetime64[us]"})  # pandas defaults ns
+    assert got2.astype({"n_events": "int64"}).equals(exp)
+
+    # distributed twin: force the stitch off the driver
+    monkeypatch.setattr(ev, "_STITCH_MAX_ROWS", 0)
+    twin = ev.user_sessions("ignored").to_pandas() \
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    assert twin.equals(got2)
