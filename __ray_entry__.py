@@ -99,6 +99,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_prior": ev.asof_latest_prior,
         "range_join_count": ev.range_join_count,
         "value_quantiles": ev.value_quantiles,
+        # mergeable-summary scale path — approximate in rank by design,
+        # rows-only (the eps-bound parity test vs the exact path lives in
+        # tests/test_events_joins.py)
+        "value_quantiles_sketch": ev.value_quantiles_sketch,
         # --- embeddings / similarity search (SQL-checked) ---
         "knn_topk": knn.knn_topk,
         "nearest_neighbor": knn.nearest_neighbor,

@@ -326,6 +326,67 @@ def range_join_count(sf_dir: str, left_type: str = "error",
     return out.sort("event_id")
 
 
+def value_quantiles_sketch(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9),
+                           eps: float = 0.005, batch_size: int = 8192):
+    """(q, value) — MERGEABLE quantile sketch over events.value: the scale
+    path next to the exact order-statistic anchor (``value_quantiles``).
+
+    Per-batch summary (the combiner): sort the batch, keep every
+    ``k_i = max(1, floor(2·eps·n_i))``-th order statistic with weight =
+    the number of raw rows it stands for (plus the batch max, weight of the
+    remainder). Summaries are (value, weight) rows — mergeable by plain
+    concatenation, size ≤ n_i/k_i + 2 per batch — and the driver merge
+    sorts them once and reads each quantile off the cumulative weights.
+
+    Rank-error bound: within batch i a summary value's cumulative weight
+    differs from its true in-batch rank by < k_i ≤ 2·eps·n_i, so the merged
+    cumulative rank of any returned value is within Σ 2·eps·n_i = 2·eps·n
+    of its true global rank (tested against the exact path in
+    tests/test_events_joins.py). Each returned value is a REAL data value —
+    the sketch never interpolates, so (unlike quantile_cont) it is
+    approximate in rank, exact in membership.
+    """
+    ds = _events(sf_dir, ["value"]).map_batches(
+        lambda t: t.filter(pc.is_valid(t["value"])), batch_format="pyarrow")
+
+    def _summary(t: pa.Table) -> pa.Table:
+        v = np.sort(t["value"].to_numpy(zero_copy_only=False))
+        n = len(v)
+        if n == 0:
+            return pa.table({"value": pa.array([], pa.float64()),
+                             "weight": pa.array([], pa.int64())})
+        k = max(1, int(2 * eps * n))
+        picks = np.arange(0, n, k)
+        w = np.full(len(picks), k, dtype=np.int64)
+        w[-1] = n - picks[-1]                      # remainder
+        return pa.table({"value": pa.array(v[picks].astype(np.float64)),
+                         "weight": pa.array(w)})
+
+    summ = ds.map_batches(_summary, batch_format="pyarrow",
+                          batch_size=batch_size)
+    parts = list(summ.iter_batches(batch_size=1 << 20,
+                                   batch_format="pyarrow"))
+    if not parts:
+        return rd.from_arrow(pa.table({
+            "q": pa.array(list(qs), pa.float64()),
+            "value": pa.nulls(len(qs), pa.float64())}))
+    t = pa.concat_tables(parts)
+    v = t["value"].to_numpy(zero_copy_only=False)
+    w = t["weight"].to_numpy(zero_copy_only=False)
+    if len(v) == 0 or w.sum() == 0:
+        return rd.from_arrow(pa.table({
+            "q": pa.array(list(qs), pa.float64()),
+            "value": pa.nulls(len(qs), pa.float64())}))
+    order = np.argsort(v, kind="stable")
+    v, w = v[order], w[order]
+    cw = np.cumsum(w)
+    n = int(cw[-1])
+    out = [float(v[min(np.searchsorted(cw, q * (n - 1), side="right"),
+                       len(v) - 1)]) for q in qs]
+    return rd.from_arrow(pa.table({"q": pa.array(list(qs), pa.float64()),
+                                   "value": pa.array(out, pa.float64())}))
+
+
 def value_quantiles(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)):
     """(q, value) — EXACT continuous quantiles of events.value, matching
     DuckDB ``quantile_cont`` bit-for-bit.
@@ -333,9 +394,9 @@ def value_quantiles(sf_dir: str, qs: tuple = (0.25, 0.5, 0.75, 0.9)):
     Distributed shape: range ``sort`` on value, block-offset prefix-sum
     locates the two order statistics each quantile interpolates between,
     only those ≤ 2·|qs| rows leave the cluster, and the driver does the
-    linear interpolation h = (n-1)·q. The exact-order-statistic analogue
-    of a mergeable quantile sketch (at 10^12 rows swap in per-batch
-    histogram partials; this path is the oracle-checkable anchor)."""
+    linear interpolation h = (n-1)·q. The oracle-checkable anchor for
+    ``value_quantiles_sketch`` — the mergeable-summary path that avoids
+    this one's global sort at 10^12 rows."""
     import ray
     ds = _events(sf_dir, ["value"]).map_batches(
         lambda t: t.filter(pc.is_valid(t["value"])), batch_format="pyarrow")

@@ -130,3 +130,46 @@ def test_user_sessions_block_boundaries_and_twin(ray_session, monkeypatch):
     twin = ev.user_sessions("ignored").to_pandas() \
         .sort_values(["user_id", "session_start"]).reset_index(drop=True)
     assert twin.equals(got2)
+
+
+def test_value_quantiles_sketch_rank_bound(ray_session):
+    """The mergeable sketch's returned values must be real data values whose
+    global rank is within the documented 2·eps·n bound of the target rank,
+    for every requested quantile, at sf0.01 against the exact sorted array."""
+    import duckdb
+    import numpy as np
+
+    from fuzzy_matcher_ray.pipelines.events import value_quantiles_sketch
+
+    sf = "/root/testdata/sf0.01"
+    eps = 0.005
+    got = value_quantiles_sketch(sf, eps=eps).to_pandas()
+    con = duckdb.connect()
+    vals = np.sort(con.sql(
+        f"select value from read_parquet('{sf}/events.parquet') "
+        "where value is not null").df()["value"].to_numpy())
+    con.close()
+    n = len(vals)
+    assert len(got) == 4
+    for _, row in got.iterrows():
+        # membership: the sketch never interpolates
+        assert (vals == row.value).any()
+        # rank bound: |rank(value) - q·(n-1)| <= 2·eps·n (rank = any index
+        # of the value in the sorted array, take the closest)
+        idx = np.nonzero(vals == row.value)[0]
+        target = row.q * (n - 1)
+        err = np.abs(idx - target).min()
+        assert err <= 2 * eps * n, (row.q, err, 2 * eps * n)
+
+
+def test_value_quantiles_sketch_matches_exact_closely(ray_session):
+    """Sanity: sketch values land close to the exact quantile values (the
+    rank bound implies value closeness on this smooth distribution)."""
+    from fuzzy_matcher_ray.pipelines.events import (value_quantiles,
+                                                    value_quantiles_sketch)
+    sf = "/root/testdata/sf0.01"
+    exact = value_quantiles(sf).to_pandas().set_index("q")["value"]
+    sk = value_quantiles_sketch(sf).to_pandas().set_index("q")["value"]
+    spread = exact.max() - exact.min()
+    for q in exact.index:
+        assert abs(exact[q] - sk[q]) <= 0.05 * spread, (q, exact[q], sk[q])
