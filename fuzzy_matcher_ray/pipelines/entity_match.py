@@ -41,7 +41,6 @@ lookup (small index) or hash join (both sides large).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -374,12 +373,16 @@ def match_entities(index_ds, query_ds, cfg: EntityMatchConfig | None = None,
     scored = cands.map_batches(_Verifier(cfg), batch_format="pyarrow",
                                batch_size=4096)
 
-    def _topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "rec_id"], ascending=[False, True]) \
-             .head(cfg.top_k).reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-    out = scored.groupby("query_id").map_groups(_topk, batch_format="pandas")
+    # Arrow partial-top-k merge (same pattern as knn._merge_topk): one numpy
+    # lexsort + take per group, no pandas conversion
+    def _topk(g: pa.Table) -> pa.Table:
+        s = g["score"].to_numpy(zero_copy_only=False)
+        rid = g["rec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rid, -s))[:cfg.top_k]
+        out = g.take(pa.array(order))
+        return out.append_column(
+            "rnk", pa.array(np.arange(1, len(out) + 1, dtype=np.int64)))
+    out = scored.groupby("query_id").map_groups(_topk, batch_format="pyarrow")
     return out.sort(["query_id", "rnk"])
 
 

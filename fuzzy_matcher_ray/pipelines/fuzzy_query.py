@@ -13,7 +13,6 @@ ranking is (distance asc, p_partkey asc) with top-k per probe
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -90,9 +89,14 @@ def fuzzy_topk_levenshtein(sf_dir: str, k: int = 3):
 
     scored = parts.map_batches(_score, batch_format="pyarrow", batch_size=4096)
 
-    def _topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["dist", "p_partkey"]).head(k).reset_index(drop=True)
-        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-    out = scored.groupby("probe_id").map_groups(_topk, batch_format="pandas")
+    # Arrow partial-top-k merge (same pattern as knn._merge_topk): the
+    # per-group kernel is one numpy lexsort + take — no pandas conversion
+    def _topk(g: pa.Table) -> pa.Table:
+        d = g["dist"].to_numpy(zero_copy_only=False)
+        key = g["p_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, d))[:k]
+        out = g.take(pa.array(order))
+        return out.append_column(
+            "rnk", pa.array(np.arange(1, len(out) + 1, dtype=np.int64)))
+    out = scored.groupby("probe_id").map_groups(_topk, batch_format="pyarrow")
     return out.sort(["probe_id", "rnk"])
