@@ -1,9 +1,10 @@
-"""Pure-numpy media encode/decode for container-less formats.
+"""Pure-numpy media encode/decode without codec libraries.
 
-WAV (RIFF/PCM) and PPM (netpbm P6) need no codec library — their headers
-are plain structs and their payloads raw samples/pixels — so this sandbox
-can implement REAL decode for them (the multimodal stage stubs only the
-codec formats: JPEG/PNG/MP3/H.264 stay behind NotImplementedError).
+WAV (RIFF/PCM) and PPM (netpbm P6) are container-less — headers are plain
+structs, payloads raw samples/pixels. PNG (8-bit RGB, non-interlaced) is a
+REAL codec format decoded here with stdlib zlib + a numpy unfilter pass
+(all five scanline filters). Formats needing a true entropy/transform codec
+(JPEG/MP3/H.264) stay honestly stubbed in the multimodal stage.
 
 Encoders exist to synthesize deterministic test payloads; decoders are the
 product surface. Round-trip exactness is asserted in tests/test_multimodal.
@@ -12,11 +13,13 @@ product surface. Round-trip exactness is asserted in tests/test_multimodal.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
 WAV_MAGIC = b"RIFF"
 PPM_MAGIC = b"P6"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
 def make_wav(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -111,6 +114,141 @@ def parse_ppm(buf: bytes) -> dict:
         raise ValueError("truncated PPM pixel data")
     return {"width": int(w), "height": int(h),
             "pixels": np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)}
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _paeth(left: np.ndarray, up: np.ndarray, upleft: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG filter 4), vectorized over a scanline."""
+    a = left.astype(np.int32)
+    b = up.astype(np.int32)
+    c = upleft.astype(np.int32)
+    p = a + b - c
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc_ = np.abs(p - c)
+    out = np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
+    return out.astype(np.uint8)
+
+
+def make_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """8-bit RGB non-interlaced PNG from a (h, w, 3) uint8 array.
+
+    ``filters`` picks the per-row scanline filter (default cycles 0..4 so
+    round-trip tests exercise every decoder filter branch). Encoding is
+    fully vectorized: every predictor reads ORIGINAL neighbor bytes.
+    """
+    h, w, _ = pixels.shape
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    raw = px.reshape(h, w * 3)
+    left = np.zeros_like(raw)
+    left[:, 3:] = raw[:, :-3]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, 3:] = raw[:-1, :-3]
+    lines = bytearray()
+    for r in range(h):
+        f = (filters[r % len(filters)] if filters else r % 5)
+        if f == 0:
+            enc = raw[r]
+        elif f == 1:
+            enc = raw[r] - left[r]
+        elif f == 2:
+            enc = raw[r] - up[r]
+        elif f == 3:
+            enc = raw[r] - ((left[r].astype(np.uint16)
+                             + up[r].astype(np.uint16)) // 2).astype(np.uint8)
+        else:
+            enc = raw[r] - _paeth(left[r], up[r], upleft[r])
+        lines.append(f)
+        lines.extend(enc.tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def parse_png(buf: bytes) -> dict:
+    """Header + pixels of an 8-bit RGB non-interlaced PNG — REAL decode:
+    stdlib zlib inflate + numpy unfilter (all five scanline filters).
+    Raises ValueError on malformed/unsupported payloads (dead-letter
+    contract: never crashes the decode stage).
+
+    Filters 0/2 unfilter as whole-row numpy ops and filter 1 as a per-
+    channel modular cumsum; 3 (average) and 4 (Paeth) need the
+    reconstructed left neighbor, so they walk pixels within the row
+    (bounded by width; rows stay numpy slices).
+    """
+    if not buf.startswith(PNG_MAGIC):
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_MAGIC)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(buf):
+        (clen,) = struct.unpack_from(">I", buf, pos)
+        ctype = buf[pos + 4: pos + 8]
+        data = buf[pos + 8: pos + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen                       # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError(
+            f"unsupported PNG depth={depth} color={color} interlace={interlace}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad PNG IDAT stream: {e}") from e
+    stride = w * 3
+    if len(raw) < h * (1 + stride):
+        raise ValueError("truncated PNG pixel data")
+    rows = np.frombuffer(raw[: h * (1 + stride)], dtype=np.uint8) \
+        .reshape(h, 1 + stride)
+    ftypes = rows[:, 0]
+    cur = rows[:, 1:]
+    recon = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        f = int(ftypes[r])
+        c = cur[r]
+        if f == 0:
+            recon[r] = c
+        elif f == 1:
+            # Sub: recon[x] = c[x] + recon[x-3] — a modular cumsum per channel
+            for ch in range(3):
+                recon[r, ch::3] = np.cumsum(
+                    c[ch::3].astype(np.uint64)).astype(np.uint8)
+        elif f == 2:
+            recon[r] = c + prev
+        elif f in (3, 4):
+            row = recon[r]
+            for x in range(0, stride, 3):
+                lft = row[x - 3: x] if x else np.zeros(3, np.uint8)
+                u = prev[x: x + 3]
+                if f == 3:
+                    pred = ((lft.astype(np.uint16) + u.astype(np.uint16))
+                            // 2).astype(np.uint8)
+                else:
+                    ul = (prev[x - 3: x] if x else np.zeros(3, np.uint8))
+                    pred = _paeth(lft, u, ul)
+                row[x: x + 3] = c[x: x + 3] + pred
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        prev = recon[r]
+    return {"width": int(w), "height": int(h),
+            "pixels": recon.reshape(h, w, 3)}
 
 
 def ppm_mean_luma(pixels: np.ndarray) -> float:

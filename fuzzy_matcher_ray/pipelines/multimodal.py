@@ -1,11 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the decode kernel is a
-deterministic STUB (clearly marked) — but the Ray-side plumbing is real and
-tested: binary columns flow as Arrow ``binary`` (never through pandas object
-dtype), the decoder is an actor-pool ``map_batches`` class (decoder "model"
-loaded once per actor in ``__init__``), batch sizes are small because payload
-rows are wide, and the output is typed metadata columns.
+Decode is REAL for WAV, PPM and PNG (functions/media — pure numpy/struct,
+stdlib zlib); only entropy-codec formats the container lacks libraries for
+(JPEG/MP3/H.264) remain behind a clearly-marked stub. The Ray-side plumbing
+is the product surface either way: binary columns flow as Arrow ``binary``
+(never through pandas object dtype), decoders are actor-pool ``map_batches``
+classes (decoder "model" loaded once per actor in ``__init__``), batch sizes
+are small because payload rows are wide, and the output is typed metadata
+columns.
 """
 
 from __future__ import annotations
@@ -56,10 +58,11 @@ class StubImageDecoder:
 
 
 class MediaDecoder:
-    """Actor-pool decode stage with REAL decoders for container-less
-    formats (WAV PCM, PPM — pure numpy/struct, no codec library) and a
-    clearly-marked stub path for codec formats (JPEG/PNG/MP3: no libs in
-    this sandbox). Malformed payloads are dead-lettered (kind="error"),
+    """Actor-pool decode stage with REAL decoders for WAV PCM, PPM (pure
+    numpy/struct) and PNG (stdlib zlib inflate + numpy unfilter —
+    functions/media.parse_png), and a clearly-marked stub path for the
+    remaining codec formats (JPEG/MP3: no entropy-codec libs in this
+    sandbox). Malformed payloads are dead-lettered (kind="error"),
     never crash the stage.
 
     Output per row: (doc_id, kind, n_bytes, width, height, channels,
@@ -83,8 +86,13 @@ class MediaDecoder:
                 p = m.parse_ppm(buf)
                 return ("ppm", p["width"], p["height"], None, None, None,
                         m.ppm_mean_luma(p["pixels"]))
-            # codec formats would dispatch to PIL/libsndfile here — absent
-            # in this sandbox, so: honestly unknown, not fake-decoded
+            if buf.startswith(m.PNG_MAGIC):
+                p = m.parse_png(buf)
+                return ("png", p["width"], p["height"], None, None, None,
+                        m.ppm_mean_luma(p["pixels"]))
+            # remaining codec formats (JPEG/MP3) would dispatch to
+            # PIL/libsndfile here — absent in this sandbox, so: honestly
+            # unknown, not fake-decoded
             return ("unknown", None, None, None, None, None, None)
         except (ValueError, struct.error) as e:
             return ("error", None, None, None, None, None, None)
@@ -111,12 +119,15 @@ class MediaDecoder:
 
 
 def synth_media_payload(doc_id: int) -> bytes:
-    """Deterministic WAV (even ids) / PPM (odd ids) payload for a doc id —
-    the sandbox stand-in for a real binary media column. Parameters derive
-    from the id, so tests can assert exact decode round-trips."""
+    """Deterministic media payload per doc id — the sandbox stand-in for a
+    real binary media column: WAV for ``id % 3 == 0``, PPM for ``1``, PNG
+    for ``2`` (filters derived from the id, so every PNG scanline-filter
+    branch gets exercised). Parameters derive from the id, so tests can
+    assert exact decode round-trips."""
     from fuzzy_matcher_ray.functions import media
     h = int(splitmix64(np.array([doc_id], dtype=np.uint64))[0])
-    if doc_id % 2 == 0:
+    kind = doc_id % 3
+    if kind == 0:
         rate = 8000 + (h % 4) * 4000                  # 8/12/16/20 kHz
         n = 200 + (h >> 8) % 800
         t = np.arange(n, dtype=np.float64)
@@ -127,14 +138,16 @@ def synth_media_payload(doc_id: int) -> bytes:
     ht = 8 + ((h >> 8) % 48)
     px = ((np.arange(w * ht * 3, dtype=np.uint64) * np.uint64(h & 0xFFFF))
           % np.uint64(251)).astype(np.uint8).reshape(ht, w, 3)
-    return media.make_ppm(px)
+    if kind == 1:
+        return media.make_ppm(px)
+    return media.make_png(px, filters=[(h >> 16) % 5, (h >> 20) % 5, 4, 3])
 
 
 def decode_media_docs(sf_dir: str):
-    """Real-decode pipeline over a synthesized media column: per-doc WAV/PPM
-    payloads (deterministic from doc_id), decoded by the MediaDecoder actor
-    pool. Output (doc_id, kind, n_bytes, width, height, channels,
-    sample_rate, duration_ms, feature) sorted by doc_id."""
+    """Real-decode pipeline over a synthesized media column: per-doc
+    WAV/PPM/PNG payloads (deterministic from doc_id), decoded by the
+    MediaDecoder actor pool. Output (doc_id, kind, n_bytes, width, height,
+    channels, sample_rate, duration_ms, feature) sorted by doc_id."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def _attach_payload(t: pa.Table) -> pa.Table:
@@ -174,14 +187,15 @@ def decode_binary_docs(sf_dir: str):
 
 
 class ImageResizer:
-    """Actor-pool resize stage: PPM payload → resized PPM payload + dims.
+    """Actor-pool resize stage: image payload → resized payload + dims.
 
-    REAL nearest-neighbor resize (functions/media.resize_nearest) for the
-    container-less format; codec formats (JPEG/PNG) would dispatch to
+    REAL nearest-neighbor resize (functions/media.resize_nearest) for both
+    decodable image formats — PPM and PNG (re-encoded in their own format,
+    so downstream stages consume the same opaque-binary column shape they
+    were given); the remaining codec formats (JPEG) would dispatch to
     PIL/libvips here and stay honestly unknown in this sandbox. Non-image
     and malformed payloads are dead-lettered (kind="error"/"skip"), never
-    crash the stage. Output payloads are re-encoded PPM so downstream
-    stages consume the same opaque-binary column shape they were given.
+    crash the stage.
     """
 
     def __init__(self, max_dim: int = 32):
@@ -197,16 +211,20 @@ class ImageResizer:
         kinds, ws, hs, ows, ohs, outs = [], [], [], [], [], []
         for b in payload:
             buf = b.as_py() or b""
-            if not buf.startswith(m.PPM_MAGIC):
+            if buf.startswith(m.PPM_MAGIC):
+                kind, parse, enc = "ppm", m.parse_ppm, m.make_ppm
+            elif buf.startswith(m.PNG_MAGIC):
+                kind, parse, enc = "png", m.parse_png, m.make_png
+            else:
                 kinds.append("skip"); ws.append(None); hs.append(None)
                 ows.append(None); ohs.append(None); outs.append(None)
                 continue
             try:
-                p = m.parse_ppm(buf)
+                p = parse(buf)
                 ow, oh = m.fit_within(p["width"], p["height"], self.max_dim)
                 px = m.resize_nearest(p["pixels"], ow, oh)
-                kinds.append("ppm"); ws.append(p["width"]); hs.append(p["height"])
-                ows.append(ow); ohs.append(oh); outs.append(m.make_ppm(px))
+                kinds.append(kind); ws.append(p["width"]); hs.append(p["height"])
+                ows.append(ow); ohs.append(oh); outs.append(enc(px))
             except ValueError:
                 kinds.append("error"); ws.append(None); hs.append(None)
                 ows.append(None); ohs.append(None); outs.append(None)
@@ -286,9 +304,10 @@ def _media_payload_ds(sf_dir: str):
 
 
 def resize_media_docs(sf_dir: str, max_dim: int = 32):
-    """Resize pipeline over the synthesized media column (PPM docs resized
-    for real, WAV docs dead-lettered as kind="skip"). Output excludes the
-    binary payload (slim typed metadata only) sorted by doc_id."""
+    """Resize pipeline over the synthesized media column (PPM and PNG docs
+    resized for real, WAV docs dead-lettered as kind="skip"). Output
+    excludes the binary payload (slim typed metadata only) sorted by
+    doc_id."""
     out = _media_payload_ds(sf_dir).map_batches(
         ImageResizer, fn_constructor_args=(max_dim,),
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4))

@@ -48,7 +48,7 @@ def test_media_decode_pipeline(ray_session):
         decode_media_docs, synth_media_payload)
     df = decode_media_docs("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 500
-    assert set(df.kind) == {"wav", "ppm"}
+    assert set(df.kind) == {"wav", "ppm", "png"}
     for _, row in df.head(60).iterrows():
         buf = synth_media_payload(int(row.doc_id))
         assert row.n_bytes == len(buf)
@@ -58,7 +58,8 @@ def test_media_decode_pipeline(ray_session):
             assert row.duration_ms == w["duration_ms"]
             assert abs(row.feature - media.wav_rms(w["samples"])) < 1e-12
         else:
-            p = media.parse_ppm(buf)
+            parse = media.parse_ppm if row.kind == "ppm" else media.parse_png
+            p = parse(buf)
             assert (row.width, row.height) == (p["width"], p["height"])
             assert abs(row.feature - media.ppm_mean_luma(p["pixels"])) < 1e-12
 
@@ -130,14 +131,16 @@ def test_resize_pipeline(ray_session):
         batch_size=8, concurrency=1).to_pandas().set_index("doc_id")
     for i in ids:
         row = out.loc[i]
-        if i % 2 == 0:                               # WAV
+        if i % 3 == 0:                               # WAV
             assert row.kind == "skip"
-        else:                                        # PPM, really resized
-            assert row.kind == "ppm"
-            p = media.parse_ppm(synth_media_payload(i))
+        else:                                        # PPM/PNG, really resized
+            kind = "ppm" if i % 3 == 1 else "png"
+            parse = media.parse_ppm if kind == "ppm" else media.parse_png
+            assert row.kind == kind
+            p = parse(synth_media_payload(i))
             ow, oh = media.fit_within(p["width"], p["height"], 16)
             assert (row.out_width, row.out_height) == (ow, oh)
-            rp = media.parse_ppm(row.payload_out)
+            rp = parse(row.payload_out)              # re-encoded same format
             assert (rp["width"], rp["height"]) == (ow, oh)
             exp = media.resize_nearest(p["pixels"], ow, oh)
             assert (rp["pixels"] == exp).all()
@@ -158,7 +161,7 @@ def test_frame_pipeline(ray_session):
     out = rd.from_arrow(t).map_batches(
         AudioFramer, batch_format="pyarrow", batch_size=8,
         concurrency=1).to_pandas()
-    assert set(out.doc_id) == {i for i in ids if i % 2 == 0 and len(
+    assert set(out.doc_id) == {i for i in ids if i % 3 == 0 and len(
         media.frame_windows(media.parse_wav(synth_media_payload(i))["samples"],
                             media.parse_wav(synth_media_payload(i))["sample_rate"],
                             25, 100)[0]) > 0}
@@ -186,3 +189,83 @@ def test_parse_wav_zero_rate_is_value_error():
     wav = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
     with pytest.raises(ValueError):
         parse_wav(wav)
+
+
+def test_png_roundtrip_exact_all_filters():
+    """make_png/parse_png round-trip every scanline filter type exactly."""
+    rng = np.random.default_rng(6)
+    for (h, w) in ((1, 1), (5, 7), (24, 31), (17, 3)):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for filters in (None, [0], [1], [2], [3], [4], [4, 3, 2, 1, 0]):
+            p = media.parse_png(media.make_png(px, filters))
+            assert (p["width"], p["height"]) == (w, h)
+            assert np.array_equal(p["pixels"], px)
+
+
+def test_png_decoder_vs_spec_reference():
+    """parse_png against an INDEPENDENT per-pixel reference encoder written
+    straight from the PNG spec (no shared code with make_png): hand-filter
+    each row with its predictor over original bytes, deflate, chunk."""
+    import struct
+    import zlib
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+        if pa_ <= pb and pa_ <= pc_:
+            return a
+        return b if pb <= pc_ else c
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    h, w = px.shape[:2]
+    raw = px.reshape(h, w * 3).astype(int)
+    lines = bytearray()
+    for r in range(h):
+        f = r % 5
+        lines.append(f)
+        for x in range(w * 3):
+            left = raw[r][x - 3] if x >= 3 else 0
+            up = raw[r - 1][x] if r else 0
+            upleft = raw[r - 1][x - 3] if (r and x >= 3) else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) // 2
+            else:
+                pred = paeth(left, up, upleft)
+            lines.append((raw[r][x] - pred) % 256)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    buf = (media.PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(lines)))
+           + chunk(b"IEND", b""))
+    p = media.parse_png(buf)
+    assert np.array_equal(p["pixels"], px)
+
+
+def test_png_malformed_raises():
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    good = media.make_png(px)
+    for bad in (b"\x89PNG\r\n\x1a\nxxxxxx", good[:40],
+                good.replace(b"IDAT", b"XDAT")):
+        with pytest.raises(ValueError):
+            media.parse_png(bad)
+    # unsupported shape: RGBA color type
+    import struct, zlib
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    rgba = (media.PNG_MAGIC
+            + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    with pytest.raises(ValueError):
+        media.parse_png(rgba + struct.pack(">I", 0) + b"IDAT"
+                        + struct.pack(">I", zlib.crc32(b"IDAT")))
