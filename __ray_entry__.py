@@ -36,7 +36,8 @@ def _em_customers(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.pipelines import events as ev
-    from fuzzy_matcher_ray.pipelines import knn, multimodal, textops, webtext
+    from fuzzy_matcher_ray.pipelines import (knn, multimodal, relevance,
+                                             textops, webtext)
     from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
     from fuzzy_matcher_ray.pipelines.fuzzy_query import fuzzy_topk_levenshtein
     from fuzzy_matcher_ray.sources.protocol import documents_source
@@ -86,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": webtext.top_ngrams,
         "repetition_scores": webtext.repetition_scores,
         "quality_filter": webtext.quality_filter,
+        "tfidf_top_terms": relevance.tfidf_top_terms,
+        "bm25_search": relevance.bm25_search,
         "sample_stratified": textops.sample_stratified,
         "shuffle_epoch": textops.shuffle_epoch,
         "topk_per_source": textops.topk_per_source,
@@ -473,6 +476,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d LEFT JOIN hits USING (doc_id)
             WHERE d.doc_id >= 20 AND coalesce(hits.h, 0) < 5
             ORDER BY d.doc_id""",
+        "tfidf_top_terms": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents),
+            tf AS (SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+                   FROM toks WHERE w <> '' GROUP BY doc_id, w),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.term,
+                         floor(tf.tf * (ln((n.n + 1) / (df.df + 1)) + 1)
+                               * 1e6 + 0.5) / 1e6 AS score
+                  FROM tf JOIN df USING (term), n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term)::BIGINT AS rnk FROM s)
+            SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3
+            ORDER BY doc_id, rnk""",
+        "bm25_search": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents),
+            tf AS (SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+                   FROM toks WHERE w <> '' GROUP BY doc_id, w),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+            q AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 3),
+            n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf
+                   GROUP BY doc_id),
+            avg AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl
+                    FROM dl),
+            per AS (SELECT tf.doc_id,
+                           CAST(floor(
+                             ln(1 + (n.n - q.df + 0.5) / (q.df + 0.5))
+                             * (tf.tf / (tf.tf + 1.2 * (1 - 0.75
+                                + 0.75 * (dl.dl / avg.avgdl))))
+                             * 1e9 + 0.5) AS BIGINT) AS e9
+                    FROM tf JOIN q USING (term)
+                    JOIN dl USING (doc_id), n, avg),
+            tot AS (SELECT d.doc_id,
+                           coalesce(sum(per.e9), 0)::BIGINT AS e9
+                    FROM documents d LEFT JOIN per USING (doc_id)
+                    GROUP BY d.doc_id),
+            r AS (SELECT doc_id, e9 / 1e9 AS score,
+                         row_number() OVER (ORDER BY e9 DESC, doc_id)
+                           ::BIGINT AS rnk
+                  FROM tot)
+            SELECT doc_id, score, rnk FROM r WHERE rnk <= 10
+            ORDER BY rnk""",
         "top_ngrams": """
             WITH toks AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS w,

@@ -1,0 +1,227 @@
+"""Term-relevance operators over the documents table: TF-IDF and BM25.
+
+The retrieval/quality tier of a training-data pipeline (rank documents by
+term salience, score docs against a query for relevance filtering or
+dedup-priority ordering) — and the generalization of the reference's
+"score candidates, keep top-k" query shape (fuzzy_matcher_core.go:281-287)
+from edit-distance scores to corpus-statistical ones.
+
+Shape (both ops, two streaming passes + one vocab-sized shuffle):
+
+1. **df pass** — per-batch PARTIAL document frequencies (each doc lives in
+   one row, so a batch-local unique per doc is exact) shrink the shuffle to
+   distinct-terms-per-batch before the global ``groupby(term).sum`` — the
+   same combiner pattern as ``webtext.top_ngrams``.
+2. The aggregated vocabulary (term, df) is vocab-sized — orders of
+   magnitude smaller than the corpus; it broadcasts via ``ray.put``. At
+   open-web vocab sizes, prune with ``min_df`` (hapax legomena dominate raw
+   vocab counts but can never rank: tf·idf of a df=1 term appears in one
+   doc only) or swap the broadcast for a hash join on term — the
+   ``stages/joins.attach_columns`` switch.
+3. **score pass** — per-batch Arrow ``index_in`` maps tokens to vocab ids;
+   scores and per-doc top-k come from one numpy lexsort per batch. No
+   shuffle at all (per-doc top-k needs no cross-doc state).
+
+Float parity with the DuckDB oracles: idf/score expressions are written as
+the IDENTICAL sequence of IEEE double ops on integer inputs on both
+engines; BM25 per-doc scores sum in FIXED-POINT (round(score·1e9) int64)
+so no float-addition-order ambiguity survives into the hash check.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from fuzzy_matcher_ray.pipelines.webtext import _as_array
+
+
+def _tokens(text: pa.Array | pa.ChunkedArray):
+    """Whitespace tokens of lower(text): (token values, doc index per token).
+    Matches the SQL oracle's ``string_split(lower(text), ' ')`` exactly
+    (null text → no tokens; empty string → one empty token, dropped by the
+    empty-term filter both here and in SQL)."""
+    toks = pc.split_pattern(pc.utf8_lower(pc.fill_null(_as_array(text), "")),
+                            " ")
+    offs = toks.offsets.to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+    return toks.values, doc_of
+
+
+def _df_table(docs, min_df: int):
+    """Corpus (term, df) via per-batch partial counts → small groupby."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v, doc_of = _tokens(t["text"])
+        if len(v) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        tb = pa.table({"d": pa.array(doc_of), "term": v})
+        tb = tb.filter(pc.not_equal(tb["term"], ""))
+        agg = (tb.group_by(["term"])
+               .aggregate([("d", "count_distinct")]))
+        return pa.table({"term": agg["term"],
+                         "df": pc.cast(agg["d_count_distinct"], pa.int64())})
+
+    partials = docs.map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby("term").aggregate(Sum("df", alias_name="df"))
+    if min_df > 1:
+        agg = agg.filter(expr=f"df >= {min_df}")
+    return agg
+
+
+def _broadcast_vocab(df_ds):
+    """Collect the vocab-sized df table, sort by term, ship once."""
+    parts = list(df_ds.iter_batches(batch_size=1 << 20,
+                                    batch_format="pyarrow"))
+    if not parts:
+        t = pa.table({"term": pa.array([], pa.string()),
+                      "df": pa.array([], pa.int64())})
+    else:
+        t = pa.concat_tables(parts)
+    t = t.take(pc.sort_indices(t["term"]))
+    terms = t["term"].combine_chunks()
+    df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return ray.put((terms, df))
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 1):
+    """(doc_id, term, score, rnk) — each doc's top-``k`` terms by TF-IDF,
+    score = tf · (ln((N+1)/(df+1)) + 1) rounded 6dp (smoothed idf), ties by
+    term asc. SQL-checked (the DuckDB oracle computes the identical
+    expression over the same unnest)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_docs = docs.count()
+    ref = _broadcast_vocab(_df_table(docs, min_df))
+
+    def _score(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "term": pa.array([], pa.string()),
+                          "score": pa.array([], pa.float64()),
+                          "rnk": pa.array([], pa.int64())})
+        v, doc_of = _tokens(t["text"])
+        if len(v) == 0:
+            return empty
+        terms, dfv = ray.get(ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # index_in yields null (→ -1 after fill) for pruned/empty terms
+        vid = pc.fill_null(pc.index_in(v, value_set=terms), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = vid >= 0
+        vid, doc_of2 = vid[ok], doc_of[ok]
+        if len(vid) == 0:
+            return empty
+        # tf per (doc, term-id): sort + run-length
+        key = doc_of2.astype(np.int64) * np.int64(len(terms)) + vid
+        key.sort()
+        brk = np.nonzero(np.diff(key))[0] + 1
+        starts = np.concatenate(([0], brk))
+        tf = np.diff(np.append(starts, len(key))).astype(np.int64)
+        kd = key[starts] // len(terms)
+        kt = key[starts] % len(terms)
+        idf = np.log((n_docs + 1.0) / (dfv[kt] + 1.0)) + 1.0
+        score = np.floor(tf * idf * 1e6 + 0.5) / 1e6
+        # per-doc top-k: one lexsort (doc asc, score desc, term-id asc —
+        # vocab is term-sorted so term-id order == term order)
+        order = np.lexsort((kt, -score, kd))
+        kd, kt, score = kd[order], kt[order], score[order]
+        seg = np.concatenate(([0], np.nonzero(np.diff(kd))[0] + 1))
+        rank = np.arange(len(kd)) - np.repeat(seg, np.diff(
+            np.append(seg, len(kd))))
+        keep = rank < k
+        return pa.table({
+            "doc_id": pa.array(ids[kd[keep]]),
+            "term": terms.take(pa.array(kt[keep])),
+            "score": pa.array(score[keep]),
+            "rnk": pa.array((rank[keep] + 1).astype(np.int64))})
+
+    out = docs.map_batches(_score, batch_format="pyarrow")
+    return out.sort(["doc_id", "rnk"])
+
+
+def bm25_search(sf_dir: str, n_query_terms: int = 3, k: int = 10,
+                k1: float = 1.2, b: float = 0.75):
+    """(doc_id, score, rnk) — top-``k`` documents by BM25 against a
+    deterministic query: the corpus's ``n_query_terms`` highest-df terms
+    (ties term asc), so the DuckDB oracle rebuilds the identical query from
+    the same table (the probes-from-the-table pattern).
+
+    score(d) = Σ_t idf(t) · tf/(tf + k1·(1 − b + b·dl/avgdl)) with
+    idf = ln(1 + (N − df + 0.5)/(df + 0.5)); per-term scores are summed in
+    fixed-point (round 9dp → int64) so the hash check never depends on
+    float addition order. Ranking: score desc, doc_id asc.
+
+    Scale shape: the df aggregate is the only shuffle; query terms + stats
+    broadcast; the score pass is one streaming map with per-batch partial
+    top-k (exact under the final total order), merged on the tiny residue.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    n_docs = docs.count()
+    df_ds = _df_table(docs, 1)
+    t = pa.concat_tables(df_ds.iter_batches(batch_size=1 << 20,
+                                            batch_format="pyarrow"))
+    dfp = t.to_pandas().sort_values(["df", "term"],
+                                    ascending=[False, True])
+    q = dfp.head(n_query_terms)
+    q_terms = pa.array(q["term"].tolist(), pa.string())
+    q_df = q["df"].to_numpy().astype(np.int64)
+
+    # avgdl over ALL docs (null text = length-0 doc) — one tiny aggregate
+    def _dl(tb: pa.Table) -> pa.Table:
+        v, doc_of = _tokens(tb["text"])
+        nz = np.zeros(len(tb), dtype=np.int64)
+        if len(v):
+            keep = pc.not_equal(v, "").to_numpy(zero_copy_only=False)
+            np.add.at(nz, doc_of[keep.astype(bool)], 1)
+        return pa.table({"dl": pa.array(nz)})
+    from ray.data.aggregate import Sum
+    total_tokens = docs.map_batches(_dl, batch_format="pyarrow") \
+        .aggregate(Sum("dl", alias_name="s"))["s"]
+    avgdl = float(total_tokens) / float(n_docs)
+    idf = np.log(1.0 + (n_docs - q_df + 0.5) / (q_df + 0.5))
+    ref = ray.put((q_terms, idf))
+
+    def _score(tb: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "score_e9": pa.array([], pa.int64())})
+        qt, qidf = ray.get(ref)
+        v, doc_of = _tokens(tb["text"])
+        ids = tb["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(tb)
+        if n == 0:
+            return empty
+        dl = np.zeros(n, dtype=np.int64)
+        if len(v):
+            nonempty = pc.not_equal(v, "").to_numpy(zero_copy_only=False) \
+                .astype(bool)
+            np.add.at(dl, doc_of[nonempty], 1)
+        tf = np.zeros((n, len(qt)), dtype=np.int64)
+        if len(v):
+            qi = pc.fill_null(pc.index_in(v, value_set=qt), -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            hit = qi >= 0
+            np.add.at(tf, (doc_of[hit], qi[hit]), 1)
+        denom = tf + k1 * (1.0 - b + b * (dl[:, None] / avgdl))
+        per_term = qidf[None, :] * (tf / denom)
+        e9 = np.floor(per_term * 1e9 + 0.5).astype(np.int64).sum(axis=1)
+        # per-batch partial top-k under the final (score desc, id asc) order
+        order = np.lexsort((ids, -e9))[: min(k, n)]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "score_e9": pa.array(e9[order])})
+
+    partials = docs.map_batches(_score, batch_format="pyarrow")
+    merged = pa.concat_tables(partials.iter_batches(batch_size=1 << 20,
+                                                    batch_format="pyarrow"))
+    ids = merged["doc_id"].to_numpy(zero_copy_only=False)
+    e9 = merged["score_e9"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -e9))[:k]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids[order]),
+        "score": pa.array(e9[order] / 1e9),
+        "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))}))

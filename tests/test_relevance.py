@@ -1,0 +1,82 @@
+"""TF-IDF / BM25 relevance ops: hand-computed planted oracles (independent
+of DuckDB — the driver-contract suite holds the SQL parity check)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def tiny_corpus(tmp_path):
+    texts = ["cat dog cat", "dog fish", "cat cat cat bird", None, ""]
+    tbl = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path), texts
+
+
+def test_tfidf_planted_exact(ray_session, tiny_corpus):
+    from fuzzy_matcher_ray.pipelines.relevance import tfidf_top_terms
+    sf, texts = tiny_corpus
+    out = tfidf_top_terms(sf, k=2).to_pandas()
+    n = 5
+    df = {"cat": 2, "dog": 2, "fish": 1, "bird": 1}
+
+    def score(tf, term):
+        idf = math.log((n + 1) / (df[term] + 1)) + 1
+        return math.floor(tf * idf * 1e6 + 0.5) / 1e6
+
+    # doc 0: cat tf=2, dog tf=1 → cat first
+    d0 = out[out.doc_id == 0]
+    assert d0.term.tolist() == ["cat", "dog"]
+    assert d0.score.tolist() == [score(2, "cat"), score(1, "dog")]
+    # doc 1: dog=1, fish=1 — fish has higher idf
+    d1 = out[out.doc_id == 1]
+    assert d1.term.tolist() == ["fish", "dog"]
+    # doc 2: cat tf=3 beats bird tf=1 (idf gap < tf gap here)
+    d2 = out[out.doc_id == 2]
+    assert d2.term.tolist()[0] == ("cat" if score(3, "cat") >= score(1, "bird")
+                                   else "bird")
+    # null / empty docs contribute no rows
+    assert set(out.doc_id) == {0, 1, 2}
+    assert (out.groupby("doc_id").rnk.min() == 1).all()
+
+
+def test_tfidf_min_df_prunes(ray_session, tiny_corpus):
+    from fuzzy_matcher_ray.pipelines.relevance import tfidf_top_terms
+    sf, _ = tiny_corpus
+    out = tfidf_top_terms(sf, k=3, min_df=2).to_pandas()
+    assert set(out.term) == {"cat", "dog"}      # fish/bird pruned at df=1
+
+
+def test_bm25_planted_ranking(ray_session, tiny_corpus):
+    """Top-df query terms are (cat, dog) (+bird/fish tie broken asc);
+    doc 0 (cat+dog, short) must outrank the null/empty docs, and every
+    score must match the hand formula."""
+    from fuzzy_matcher_ray.pipelines.relevance import bm25_search
+    sf, texts = tiny_corpus
+    out = bm25_search(sf, n_query_terms=2, k=5).to_pandas()
+    n, k1, b = 5, 1.2, 0.75
+    df = {"cat": 2, "dog": 2}
+    tfs = {0: {"cat": 2, "dog": 1}, 1: {"dog": 1}, 2: {"cat": 3}}
+    dls = {0: 3, 1: 2, 2: 4, 3: 0, 4: 0}
+    avgdl = sum(dls.values()) / n
+
+    def e9(doc):
+        tot = 0
+        for t in ("cat", "dog"):
+            tf = tfs.get(doc, {}).get(t, 0)
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s = idf * (tf / (tf + k1 * (1 - b + b * (dls[doc] / avgdl))))
+            tot += math.floor(s * 1e9 + 0.5)
+        return tot
+
+    exp = sorted(range(5), key=lambda d: (-e9(d), d))
+    assert out.doc_id.tolist() == exp
+    for _, row in out.iterrows():
+        assert row.score == pytest.approx(e9(int(row.doc_id)) / 1e9,
+                                          abs=1e-12)
