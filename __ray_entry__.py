@@ -36,8 +36,8 @@ def _em_customers(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.pipelines import events as ev
-    from fuzzy_matcher_ray.pipelines import (knn, multimodal, relevance,
-                                             textops, webtext)
+    from fuzzy_matcher_ray.pipelines import (analytics, knn, multimodal,
+                                             relevance, textops, webtext)
     from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
     from fuzzy_matcher_ray.pipelines.fuzzy_query import fuzzy_topk_levenshtein
     from fuzzy_matcher_ray.sources.protocol import documents_source
@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": textops.sample_stratified,
         "shuffle_epoch": textops.shuffle_epoch,
         "topk_per_source": textops.topk_per_source,
+        # --- relational analytics (SQL-checked) ---
+        "revenue_by_nation": analytics.revenue_by_nation,
+        "order_priority_counts": analytics.order_priority_counts,
         # --- mutation surface (SQL-checked) ---
         "remove_tombstoned": textops.remove_tombstoned,
         # --- events / streaming-shaped (SQL-checked) ---
@@ -255,6 +258,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY p.a, p.b""",
         "remove_tombstoned":
             "SELECT doc_id FROM documents WHERE doc_id % 97 <> 0 ORDER BY doc_id",
+        "revenue_by_nation": """
+            SELECT n_name,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4
+                                  + 0.5) AS BIGINT))::BIGINT AS revenue_e4,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name""",
+        "order_priority_counts": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_linenumber >= 4)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "events_alive_by_type": f"""
             SELECT event_type, count(*)::BIGINT AS n_events,
                    round(sum(value), 6) AS total_value
