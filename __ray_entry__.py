@@ -87,6 +87,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_ngrams": webtext.top_ngrams,
         "repetition_scores": webtext.repetition_scores,
         "quality_filter": webtext.quality_filter,
+        # rows-only: the crawl table is its own deterministic fixture (the
+        # F1 pages table is not one of the driver's registered views); the
+        # byte_identical proof column must be all-true — asserted hard in
+        # tests/test_html_extract.py, visible here in the row payload
+        "html_extract_pages": webtext.extract_html_pages,
         "tfidf_top_terms": relevance.tfidf_top_terms,
         "bm25_search": relevance.bm25_search,
         "sample_stratified": textops.sample_stratified,

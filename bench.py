@@ -148,6 +148,34 @@ def run_bench() -> dict:
     match_customers(SF_DIR).count()
     queries["entity_match_customers"] = round(time.perf_counter() - t0, 3)
 
+    from fuzzy_matcher_ray.pipelines.events import (user_sessions,
+                                                    value_quantiles_sketch)
+    t0 = time.perf_counter()
+    user_sessions(SF_DIR).count()
+    queries["user_sessions"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    value_quantiles_sketch(SF_DIR).count()
+    queries["value_quantiles_sketch"] = round(time.perf_counter() - t0, 3)
+
+    from fuzzy_matcher_ray.pipelines.relevance import bm25_search
+    t0 = time.perf_counter()
+    bm25_search(SF_DIR).count()
+    queries["bm25_search"] = round(time.perf_counter() - t0, 3)
+
+    from fuzzy_matcher_ray.pipelines.analytics import revenue_by_nation
+    t0 = time.perf_counter()
+    revenue_by_nation(SF_DIR).count()
+    queries["revenue_by_nation"] = round(time.perf_counter() - t0, 3)
+
+    # HTML→text extraction over a 20k-page synthetic crawl (cached fixture;
+    # generation cost excluded — the fixture is built before the timer)
+    from fuzzy_matcher_ray.sources.webpages import write_webpages
+    write_webpages("/tmp/fm_ray_pages", 20_000, seed=7)
+    t0 = time.perf_counter()
+    webtext.extract_html_pages(SF_DIR, n_docs=20_000).count()
+    queries["html_extract_20k"] = round(time.perf_counter() - t0, 3)
+
     ray.shutdown()
     return {
         "metric": "near-dup dedup end-to-end wall",

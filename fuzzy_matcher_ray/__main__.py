@@ -36,9 +36,14 @@ def _source(kind: str, path: str):
                                                     webpages_source)
     if kind == "webpages":
         return webpages_source(path)
+    if kind == "webpages-html":
+        # raw crawl: derive text from the html column via the extraction
+        # actor pool (byte-identical to the pre-extracted mode)
+        return webpages_source(path, extract_html=True)
     if kind == "documents":
         return documents_source(path)
-    raise SystemExit(f"unknown --source {kind!r} (webpages|documents)")
+    raise SystemExit(
+        f"unknown --source {kind!r} (webpages|webpages-html|documents)")
 
 
 _VALID_PASSES = ("exact", "minhash", "simhash", "substring")

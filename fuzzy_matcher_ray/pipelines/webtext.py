@@ -20,9 +20,10 @@ Ray-Data shape (all stages stream):
 3. keep — join the winner pack back onto the exploded rows
    (broadcast-or-shuffle via ``attach_columns``) and keep rows whose own
    pack equals the winner pack (the first global occurrence).
-4. rebuild — ``groupby(doc_id).map_groups`` re-joins each doc's surviving
-   spans in ``ln`` order. Output-proportional (one small string join per
-   surviving doc); docs that lose every span (exact full dups) drop out.
+4. rebuild — sort on ``pack`` + per-block segmented ``binary_join``
+   (zero per-doc Python dispatch; block-edge docs re-joined from a tiny
+   boundary set). Output-proportional; docs that lose every span (exact
+   full dups) drop out.
 
 Scale assumptions (documented per the custom-operator rule): doc_id < 2^31
 and spans-per-doc < 2^32 for the pack key; span strings are bounded by
@@ -493,3 +494,35 @@ def redact_pii(sf_dir: str):
         lambda t: pa.table({"doc_id": t["doc_id"],
                             "clean_text": redact_text(t["text"])}),
         batch_format="pyarrow").sort("doc_id")
+
+
+def extract_html_pages(sf_dir: str, n_docs: int = 2000, seed: int = 7):
+    """(url, n_chars, byte_identical) — HTML→text extraction proof rows.
+
+    Synthesizes the F1 Common-Crawl-style table (url, warc_ts, html:binary,
+    text, lang) deterministically (sources/webpages.encode_html renders the
+    full text into a realistic page), runs the ``HtmlExtractor`` actor-pool
+    stage on the binary column, and emits one row per url carrying the
+    extracted length plus whether extraction reproduced the stored text
+    BYTE-IDENTICALLY (the input_hint invariant; every row must say true —
+    asserted hard in tests/test_html_extract.py, surfaced here so the
+    driver's rows-only check sees the proof column). ``sf_dir`` is unused:
+    the crawl table is its own fixture, cached under /tmp.
+    """
+    from fuzzy_matcher_ray.sources.webpages import write_webpages
+    from fuzzy_matcher_ray.stages.extract_stage import extract_pages
+
+    path = write_webpages("/tmp/fm_ray_pages", n_docs, seed)
+    ds = rd.read_parquet(path, columns=["url", "html", "text"])
+
+    def _stash(t: pa.Table) -> pa.Table:
+        return pa.table({"url": t["url"], "html": t["html"],
+                         "stored": t["text"]})
+
+    def _proof(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(_as_array(t["text"])), pa.int64())
+        return pa.table({"url": t["url"], "n_chars": n,
+                         "byte_identical": pc.equal(t["text"], t["stored"])})
+
+    out = extract_pages(ds.map_batches(_stash, batch_format="pyarrow"))
+    return out.map_batches(_proof, batch_format="pyarrow").sort("url")

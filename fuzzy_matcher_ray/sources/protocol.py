@@ -33,15 +33,23 @@ def documents_source(sf_dir: str):
     return ds.map_batches(_adapt, batch_format="pyarrow")
 
 
-def webpages_source(path: str):
+def webpages_source(path: str, extract_html: bool = False):
     """Common-Crawl-style table (url, warc_ts, html, text, lang) → canonical.
 
-    The wide ``html`` binary column is pruned AT THE READ — it never enters
-    the pipeline (text extraction is assumed upstream per the input_hint's
-    byte-identical-text invariant; see sources/webpages.py for the synthetic
-    generator that honors it).
+    Default mode prunes the wide ``html`` binary column AT THE READ — it
+    never enters the pipeline (extraction already ran upstream).
+    ``extract_html=True`` runs the real extraction stage instead: read
+    (url, warc_ts, html, lang), derive ``text`` via the ``HtmlExtractor``
+    actor pool, and drop ``html`` immediately after. The two modes produce
+    byte-identical docs (the input_hint invariant), asserted by
+    tests/test_html_extract.py.
     """
-    ds = rd.read_parquet(path, columns=["url", "warc_ts", "text", "lang"])
+    if extract_html:
+        from fuzzy_matcher_ray.stages.extract_stage import extract_pages
+        ds = rd.read_parquet(path, columns=["url", "warc_ts", "html", "lang"])
+        ds = extract_pages(ds)
+    else:
+        ds = rd.read_parquet(path, columns=["url", "warc_ts", "text", "lang"])
 
     def _adapt(t: pa.Table) -> pa.Table:
         from fuzzy_matcher_ray.functions.fingerprint import content_hash

@@ -16,6 +16,8 @@ reference's golden corpora:
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
 
@@ -65,6 +67,60 @@ def _ocr_variant(rng: np.random.Generator, base: str, n_sub: int = 4) -> str:
         if pos >= 0:
             s = s[:pos] + dst + s[pos + len(src):]
     return s
+
+
+def encode_html(text: str, idx: int) -> bytes:
+    """Render ``text`` into a realistic full page (the F1 ``html`` column).
+
+    The inverse of ``functions/html.extract_text_column`` — every byte of
+    ``text`` round-trips: head/title/style/script, nav + footer boilerplate,
+    comments and tag attributes are dropped by extraction; inline markup
+    (<b>/<i>/<a>) wraps whole tokens; ~30% of pages encode some characters
+    as numeric entities (``&#100;`` / ``&#x64;``) that decode back to the
+    original byte. Per-row determinism comes from crc32(text)+idx, NOT the
+    corpus rng stream, so adding this encoder never shifts planted clusters.
+    """
+    r = np.random.default_rng(zlib.crc32(text.encode()) + 7919 * idx + 1)
+    toks = text.split(" ") if text else []
+    use_entities = r.random() < 0.30
+
+    def render(w: str) -> str:
+        if use_entities and w and r.random() < 0.03:
+            j = int(r.integers(0, len(w)))
+            o = ord(w[j])
+            rep = f"&#{o};" if r.random() < 0.5 else f"&#x{o:x};"
+            w = w[:j] + rep + w[j + 1:]
+        v = r.random()
+        if v < 0.04:
+            return f"<b>{w}</b>"
+        if v < 0.07:
+            return f"<i>{w}</i>"
+        if v < 0.09:
+            return f'<a href="/l/{int(r.integers(0, 999))}">{w}</a>'
+        return w
+
+    paras = []
+    i = 0
+    while i < len(toks):
+        n = int(r.integers(20, 61))
+        paras.append("<p>" + " ".join(render(w) for w in toks[i:i + n])
+                     + "</p>")
+        i += n
+    title = " ".join(toks[:4]) or "untitled"
+    body = "\n".join(paras)
+    page = (
+        "<!DOCTYPE html>\n"
+        f"<html lang=\"en\">\n<head>\n<title>{title}</title>\n"
+        "<meta charset=\"utf-8\">\n"
+        "<style>body { margin: 0; font: 14px serif; }</style>\n"
+        f"<script>var pageId = {idx}; track(pageId);</script>\n"
+        "</head>\n<body>\n"
+        "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a></nav>\n"
+        f"<!-- page {idx} rendered by synthcrawl -->\n"
+        f"{body}\n"
+        "<footer>&copy; 2024 synthcrawl &middot; all rights reserved"
+        "</footer>\n</body>\n</html>\n")
+    return page.encode()
 
 
 def make_webpages(n_docs: int, seed: int = 42,
@@ -142,8 +198,8 @@ def make_webpages(n_docs: int, seed: int = 42,
 
     base_ts = np.datetime64("2024-01-01T00:00:00", "us")
     ts = base_ts + np.arange(len(urls)) * np.timedelta64(1000000, "us")
-    html = pa.array([f"<html><body><p>{t[:40]}</p></body></html>".encode()
-                     for t in texts], pa.binary())
+    html = pa.array([encode_html(t, i) for i, t in enumerate(texts)],
+                    pa.binary())
     pages = pa.table({
         "url": pa.array(urls, pa.string()),
         "warc_ts": pa.array(ts),
