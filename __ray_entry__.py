@@ -33,6 +33,36 @@ def _em_customers(sf_dir: str):
     return match_customers(sf_dir)
 
 
+def _dedup_incremental(sf_dir: str):
+    """Prior corpus = the F1 pages fixture (checkpointed under /tmp, cached
+    across calls by the Checkpointer's lineage key); increment = a second
+    deterministic shard in a disjoint id space. Returns every (doc_id,
+    cluster_id) of prior ∪ increment, sorted."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.pipelines.dedup import (find_duplicates,
+                                                   incremental_update)
+    from fuzzy_matcher_ray.sources.webpages import make_webpages
+    from fuzzy_matcher_ray.state.checkpoint import Checkpointer
+
+    def _tbl(n, seed, off):
+        pages, _ = make_webpages(n, seed=seed)
+        return pa.table({
+            "doc_id": pa.array(range(off, off + len(pages)), pa.int64()),
+            "url": pages["url"], "text": pages["text"],
+            "lang": pages["lang"]})
+
+    cfg = PipelineConfig()
+    root = "/tmp/fm_ray_inc_prior"
+    ck = Checkpointer(root, cfg.config_hash() + ":inc-fixture-v1")
+    find_duplicates(rd.from_arrow(_tbl(1500, 71, 0)), cfg,
+                    checkpointer=ck).materialize()
+    return incremental_update(
+        root, rd.from_arrow(_tbl(500, 72, 1_000_000)), cfg).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.pipelines import events as ev
@@ -85,6 +115,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": webtext.redact_pii,
         "decontaminate": webtext.decontaminate,
         "top_ngrams": webtext.top_ngrams,
+        # mergeable Misra–Gries heavy hitters — approximate in count by
+        # design, rows-only (the err_bound parity test vs the exact path
+        # lives in tests/test_webtext.py)
+        "top_ngrams_sketch": webtext.top_ngrams_sketch,
         "repetition_scores": webtext.repetition_scores,
         "quality_filter": webtext.quality_filter,
         # rows-only: the crawl table is its own deterministic fixture (the
@@ -100,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational analytics (SQL-checked) ---
         "revenue_by_nation": analytics.revenue_by_nation,
         "order_priority_counts": analytics.order_priority_counts,
+        "pricing_summary": analytics.pricing_summary,
         # --- mutation surface (SQL-checked) ---
         "remove_tombstoned": textops.remove_tombstoned,
         # --- events / streaming-shaped (SQL-checked) ---
@@ -124,6 +159,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entity_match_customers": _em_customers,
         # --- flagship dedup passes (rows-only; pytest brute-force oracle) ---
         "dedup_full": flagship,
+        # incremental InsertEntries at web scale: prior run's checkpoint
+        # artifacts are the index; byte-identical-to-full-rerun parity is
+        # the pytest oracle (test_incremental.py); rows-only here (own
+        # two-shard fixture — deliberately NOT named dedup_*: the harness
+        # pins that prefix to the documents-table row count)
+        "incremental_dedup": _dedup_incremental,
         "dedup_jaccard_brute": jaccard_brute,
         "dedup_minhash": minhash_only,
         "dedup_simhash": simhash_only,
@@ -280,6 +321,22 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_linenumber >= 4)
             GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(floor(l_quantity * 1e2 + 0.5) AS BIGINT))
+                     ::BIGINT AS sum_qty_e2,
+                   sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT))
+                     ::BIGINT AS sum_base_e2,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e4
+                                  + 0.5) AS BIGINT))::BIGINT AS sum_disc_e4,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                  * (1 + l_tax) * 1e6 + 0.5) AS BIGINT))
+                     ::BIGINT AS sum_charge_e6,
+                   count(*)::BIGINT AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
         "events_alive_by_type": f"""
             SELECT event_type, count(*)::BIGINT AS n_events,
                    round(sum(value), 6) AS total_value

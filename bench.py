@@ -168,6 +168,15 @@ def run_bench() -> dict:
     revenue_by_nation(SF_DIR).count()
     queries["revenue_by_nation"] = round(time.perf_counter() - t0, 3)
 
+    from fuzzy_matcher_ray.pipelines.analytics import pricing_summary
+    t0 = time.perf_counter()
+    pricing_summary(SF_DIR).count()
+    queries["pricing_summary"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    webtext.top_ngrams_sketch(SF_DIR).count()
+    queries["top_ngrams_sketch"] = round(time.perf_counter() - t0, 3)
+
     # HTML→text extraction over a 20k-page synthetic crawl (cached fixture;
     # generation cost excluded — the fixture is built before the timer)
     from fuzzy_matcher_ray.sources.webpages import write_webpages

@@ -113,3 +113,90 @@ def order_priority_counts(sf_dir: str):
     out = hit.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_orders"))
     return out.sort("o_orderpriority")
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"):
+    """(l_returnflag, l_linestatus, sum_qty_e2, sum_base_e2, sum_disc_e4,
+    sum_charge_e6, n_rows) — the TPC-H Q1 shape: scan-heavy multi-measure
+    aggregate over lineitem with a date predicate pushed into the first
+    batch pass. All measures are EXACT fixed-point int64 (quantity/price
+    have 2 decimals, price·(1−disc) 4, ·(1+tax) 6 — floor(x·10^s + 0.5) is
+    the same float64 op on both engines, so the hash check can never drift
+    on summation order). Per-batch partials reduce each batch to ≤6 rows
+    (|returnflag|×|linestatus|) before the tiny global groupby. SQL-checked.
+    """
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+    cut = pa.scalar(np.datetime64(cutoff, "us"), pa.timestamp("us"))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.less_equal(t["l_shipdate"], cut))
+        empty = pa.table({
+            "k": pa.array([], pa.string()),
+            "sum_qty_e2": pa.array([], pa.int64()),
+            "sum_base_e2": pa.array([], pa.int64()),
+            "sum_disc_e4": pa.array([], pa.int64()),
+            "sum_charge_e6": pa.array([], pa.int64()),
+            "n_rows": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        tax = t["l_tax"].to_numpy(zero_copy_only=False)
+        qty_e2 = np.floor(qty * 1e2 + 0.5).astype(np.int64)
+        base_e2 = np.floor(price * 1e2 + 0.5).astype(np.int64)
+        disc_e4 = np.floor(price * (1.0 - disc) * 1e4 + 0.5).astype(np.int64)
+        charge_e6 = np.floor(price * (1.0 - disc) * (1.0 + tax) * 1e6
+                             + 0.5).astype(np.int64)
+        key = pc.binary_join_element_wise(
+            t["l_returnflag"].combine_chunks()
+            if isinstance(t["l_returnflag"], pa.ChunkedArray)
+            else t["l_returnflag"],
+            t["l_linestatus"].combine_chunks()
+            if isinstance(t["l_linestatus"], pa.ChunkedArray)
+            else t["l_linestatus"], "|")
+        kn = key.to_numpy(zero_copy_only=False)
+        u, inv = np.unique(kn, return_inverse=True)
+        # float64 bincount weights: a batch partial of charge_e6 tops out
+        # around 4096·10^11 < 2^53 — exact
+        def _s(v):
+            return pa.array(np.bincount(inv, weights=v.astype(np.float64))
+                            .astype(np.int64))
+        return pa.table({"k": pa.array(u, pa.string()),
+                         "sum_qty_e2": _s(qty_e2),
+                         "sum_base_e2": _s(base_e2),
+                         "sum_disc_e4": _s(disc_e4),
+                         "sum_charge_e6": _s(charge_e6),
+                         "n_rows": pa.array(np.bincount(inv)
+                                            .astype(np.int64))})
+
+    partials = li.map_batches(_partial, batch_format="pyarrow")
+
+    def _split(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        parts = pc.split_pattern(t["k"].combine_chunks()
+                                 if isinstance(t["k"], pa.ChunkedArray)
+                                 else t["k"], "|")
+        return pa.table({
+            "l_returnflag": pc.list_element(parts, 0),
+            "l_linestatus": pc.list_element(parts, 1),
+            "sum_qty_e2": t["sum_qty_e2"],
+            "sum_base_e2": t["sum_base_e2"],
+            "sum_disc_e4": t["sum_disc_e4"],
+            "sum_charge_e6": t["sum_charge_e6"],
+            "n_rows": t["n_rows"]})
+
+    return partials.groupby("k").aggregate(
+        Sum("sum_qty_e2", alias_name="sum_qty_e2"),
+        Sum("sum_base_e2", alias_name="sum_base_e2"),
+        Sum("sum_disc_e4", alias_name="sum_disc_e4"),
+        Sum("sum_charge_e6", alias_name="sum_charge_e6"),
+        Sum("n_rows", alias_name="n_rows")).map_batches(
+        _split, batch_format="pyarrow").sort(
+        ["l_returnflag", "l_linestatus"])

@@ -198,7 +198,8 @@ def _exclude_known_pairs(pairs, known_edges, broadcast_max: int = 20_000_000):
                       aggregator_ray_remote_args=JOIN_AGG_ARGS)
 
 
-def substring_edges(norm, cfg: PipelineConfig, attacher=None, exclude_edges=None):
+def substring_edges(norm, cfg: PipelineConfig, attacher=None,
+                    exclude_edges=None, ck: Checkpointer | None = None):
     """Winnowed-fingerprint co-location → exact long-repeat verification.
 
     Candidate pairs are docs sharing any winnowed window fingerprint
@@ -207,9 +208,17 @@ def substring_edges(norm, cfg: PipelineConfig, attacher=None, exclude_edges=None
     hashes and extends at occurrence pairs — exact for the >= min_len
     predicate, with a suffix-array fallback only past a tried-pairs budget
     (pathologically repetitive docs).
+
+    With a Checkpointer the fingerprint rows persist as the ``winnow_rows``
+    artifact — ``incremental_update`` probes it so an increment never
+    re-winnows the prior corpus.
     """
-    rows = add_stage(norm.select_columns(["doc_id", "norm_text", "tier"]),
-                     Winnower, cfg)
+    def _rows():
+        return add_stage(norm.select_columns(["doc_id", "norm_text", "tier"]),
+                         Winnower, cfg)
+
+    rows = ck.stage("winnow_rows", _rows) if ck is not None and ck.enabled \
+        else _rows()
 
     def _pack_pp(t: pa.Table) -> pa.Array:
         # pack the shared-fingerprint seed positions (21 bits each) so ONE
@@ -321,7 +330,7 @@ def find_duplicates(docs, cfg: PipelineConfig | None = None,
             simhash_edges(norm, cfg, attacher=attacher, sigs=sigs,
                           sets_ref=sets_ref)),
         "substring": lambda: _edges_only(
-            substring_edges(norm, cfg, attacher=attacher)),
+            substring_edges(norm, cfg, attacher=attacher, ck=ck)),
     }
     # the four passes are independent until the edge union — build them on
     # parallel driver threads so their internal barriers (counts, sorts,
@@ -447,3 +456,296 @@ def jaccard_allpairs_clusters(docs, cfg: PipelineConfig | None = None,
 
     edges = withs.map_batches(_thresh, batch_format="pyarrow")
     return cluster_edges(edges, docs.select_columns(["doc_id"]), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus update (≙ InsertEntries, fuzzy_matcher.go:21-27)
+# ---------------------------------------------------------------------------
+
+def _load_stage(prior_root: str, name: str, expect_hash: str | None = None):
+    """Read a prior run's checkpoint artifact; error clearly if absent."""
+    import json
+    import os
+
+    import ray.data as rd
+    data_dir = os.path.join(prior_root, name, "data")
+    manifest = os.path.join(prior_root, name, "_MANIFEST.json")
+    if not (os.path.isdir(data_dir) and os.path.isfile(manifest)):
+        raise FileNotFoundError(
+            f"incremental_update: prior run at {prior_root!r} has no "
+            f"completed '{name}' stage (run find_duplicates with a "
+            "Checkpointer first)")
+    with open(manifest) as f:
+        m = json.load(f)
+    if expect_hash is not None and m.get("config_hash") != expect_hash:
+        raise ValueError(
+            f"incremental_update: stage '{name}' was built under config "
+            f"hash {m.get('config_hash')!r}, but 'normalize' under "
+            f"{expect_hash!r} — the prior checkpoint mixes runs")
+    return rd.read_parquet(data_dir), m.get("config_hash")
+
+
+def _semi_join_keys(rows, keys_ds, key_cols, cfg: PipelineConfig):
+    """rows whose ``key_cols`` combo appears in ``keys_ds``.
+
+    Broadcast sorted-array membership while the increment's distinct key
+    set fits (``BROADCAST_KEYS_MAX``); hash-partitioned semi join beyond —
+    the prior corpus side streams through a filter either way and never
+    explodes into pairs for buckets the increment doesn't touch.
+    """
+    from fuzzy_matcher_ray.stages.candidates import (
+        BROADCAST_KEYS_MAX, _collect_combined_keys, _membership_filter)
+    if keys_ds.count() <= BROADCAST_KEYS_MAX:
+        arr = _collect_combined_keys(keys_ds, key_cols)
+        return _membership_filter(rows, key_cols, arr)
+    from fuzzy_matcher_ray.stages.joins import (JOIN_AGG_ARGS,
+                                                effective_partitions)
+    row_schema = {f.name: f.type for f in rows.schema().base_schema}
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.table({c: t[c].cast(row_schema[c])
+                         if t.schema.field(c).type != row_schema[c]
+                         else t[c] for c in key_cols})
+
+    # repartition: hash-aggregate outputs (keys_ds is a groupby) carry
+    # schema-less empty blocks that break the join's key resolution
+    return rows.join(keys_ds.map_batches(_cast, batch_format="pyarrow")
+                     .repartition(effective_partitions(
+                         cfg.join_num_partitions)),
+                     "left_semi",
+                     effective_partitions(cfg.join_num_partitions),
+                     on=tuple(key_cols),
+                     aggregator_ray_remote_args=JOIN_AGG_ARGS)
+
+
+def _tag_new(ds, flag: int):
+    def _f(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_new", pa.array(np.full(len(t), flag, np.int8)))
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def _touches_new(t: pa.Table) -> pa.Table:
+    return t.filter(pc.or_(pc.equal(t["is_new_a"], pa.scalar(1)),
+                           pc.equal(t["is_new_b"], pa.scalar(1))))
+
+
+def incremental_update(prior_root: str, new_docs,
+                       cfg: PipelineConfig | None = None,
+                       passes: tuple = ("exact", "minhash", "simhash",
+                                        "substring"),
+                       cluster_strategy: str = "auto"):
+    """Cluster a NEW shard against a prior ``find_duplicates`` run without
+    re-scanning the prior corpus — the web-scale InsertEntries
+    (``fuzzy_matcher.go:21-27``: the reference mutates a live trie; here the
+    prior run's immutable checkpoint artifacts are the index).
+
+    Reads the prior run's artifacts (normalize / signatures / winnow_rows /
+    clusters); normalizes and signs ONLY the increment; semi-joins the prior
+    key rows against the increment's key set so buckets the increment never
+    touches never explode into pairs; keeps only pairs with ≥1 new doc
+    (``is_new`` carried through the pair machinery); verifies those pairs;
+    and re-labels with union-find over prior-cluster star edges + the new
+    edges. Signatures are deterministic per doc, so the result is
+    BYTE-IDENTICAL to a full re-run over prior ∪ new (same edge components
+    ⇒ same min-id labels) — asserted by tests/test_incremental.py.
+
+    Returns (doc_id, cluster_id) for every doc in prior ∪ new. Requires
+    disjoint doc_id spaces (checked) and the same ``cfg`` as the prior run;
+    ``verify_budget_per_doc`` is rejected (its per-doc ranking depends on
+    the global candidate set, which an increment by design does not see).
+    """
+    import ray
+    import ray.data as rd
+
+    cfg = cfg or PipelineConfig()
+    if cfg.verify_budget_per_doc is not None:
+        raise ValueError("incremental_update: verify_budget_per_doc breaks "
+                         "full-rerun parity; run with budget=None")
+    norm_A, chash = _load_stage(prior_root, "normalize")
+    clusters_A, _ = _load_stage(prior_root, "clusters", chash)
+
+    if new_docs.limit(1).count() == 0:
+        return clusters_A.select_columns(["doc_id", "cluster_id"])
+
+    from fuzzy_matcher_ray.stages.joins import (BROADCAST_MAX_ROWS,
+                                                BroadcastAttacher,
+                                                partitions_for)
+    import dataclasses as _dc
+    try:
+        src_bytes = (new_docs.size_bytes() or 0) + (norm_A.size_bytes() or 0)
+    except Exception:
+        src_bytes = None
+    cfg = _dc.replace(cfg, join_num_partitions=partitions_for(
+        cfg.join_num_partitions, src_bytes))
+
+    norm_B = normalized_docs(new_docs, cfg).materialize()
+
+    # --- disjoint-id guard: one streaming filter over the slim prior ids
+    # against the broadcast increment ids (the increment is the small side
+    # by definition; at shard sizes past driver memory, skip via the
+    # caller's own id discipline and the check degrades to the join paths
+    # simply producing garbage — hence the hard error here while it fits)
+    b_ids = np.unique(np.concatenate(
+        [t["doc_id"].to_numpy(zero_copy_only=False)
+         for t in norm_B.select_columns(["doc_id"])
+         .iter_batches(batch_size=1 << 20, batch_format="pyarrow")]
+        or [np.empty(0, np.int64)]))
+    ids_ref = ray.put(b_ids)
+
+    def _overlap(t: pa.Table) -> pa.Table:
+        ks = ray.get(ids_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        idx = np.clip(np.searchsorted(ks, ids), 0, max(len(ks) - 1, 0))
+        n = int((ks[idx] == ids).sum()) if len(ks) else 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_overlap = sum(
+        t["n"].to_pylist()[0] for t in clusters_A.select_columns(["doc_id"])
+        .map_batches(_overlap, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if n_overlap:
+        raise ValueError(f"incremental_update: {n_overlap} doc_ids of the "
+                         "increment already exist in the prior corpus")
+
+    # shared text broadcast for the verify stages (A ∪ B, slim columns)
+    norm_all = norm_A.select_columns(["doc_id", "norm_text"]).union(
+        norm_B.select_columns(["doc_id", "norm_text"])).materialize()
+    attacher = None
+    if norm_all.count() <= BROADCAST_MAX_ROWS:
+        attacher = BroadcastAttacher(norm_all, "doc_id", ["norm_text"])
+
+    from fuzzy_matcher_ray.stages.normalize_stage import TIER_SKIP
+
+    def _hash_rows(norm):
+        return norm.map_batches(
+            lambda t: pa.table({
+                "text_hash": t["text_hash"], "text_hash2": t["text_hash2"],
+                "doc_id": t["doc_id"]}).filter(
+                    pc.greater(t["tier"], pa.scalar(TIER_SKIP, pa.int8()))),
+            batch_format="pyarrow")
+
+    def _exact_inc():
+        from ray.data.aggregate import Min
+
+        from fuzzy_matcher_ray.stages.joins import (JOIN_AGG_ARGS,
+                                                    effective_partitions)
+        # B-internal exact groups
+        intra = exact_dup_edges(norm_B, cfg)
+        # A→B links: only prior rows whose 128-bit key the increment carries
+        rows_B = _hash_rows(norm_B).materialize()
+        keys_B = rows_B.groupby(["text_hash", "text_hash2"]).count() \
+            .select_columns(["text_hash", "text_hash2"])
+        rows_A = _semi_join_keys(_hash_rows(norm_A), keys_B,
+                                 ["text_hash", "text_hash2"], cfg) \
+            .materialize()
+        if rows_A.count() == 0:
+            # no shared 128-bit key across the corpora — a zero-block
+            # dataset has no schema and would break the join below
+            return intra
+        # repartition: the hash-aggregate emits schema-less EMPTY blocks
+        # for key-less partitions, which poison a downstream hash join
+        # ("no match for key field on right side"); a repartition rebuilds
+        # uniform blocks with the real schema
+        reps_A = rows_A.groupby(["text_hash", "text_hash2"]).aggregate(
+            Min("doc_id", alias_name="rep")).repartition(
+                effective_partitions(cfg.join_num_partitions))
+        linked = rows_B.join(reps_A, "inner",
+                             effective_partitions(cfg.join_num_partitions),
+                             on=("text_hash", "text_hash2"),
+                             aggregator_ray_remote_args=JOIN_AGG_ARGS)
+        cross = linked.map_batches(
+            lambda t: pa.table({"a": t["rep"], "b": t["doc_id"]}),
+            batch_format="pyarrow")
+        return intra.union(cross)
+
+    sigs_B = None
+    if "minhash" in passes or "simhash" in passes:
+        sigs_B = signature_table(norm_B, cfg).materialize()
+        sigs_A, _ = _load_stage(prior_root, "signatures", chash)
+
+    def _lsh_inc(key_rows_fn, key_cols, carry, pair_filter):
+        rows_B = key_rows_fn(sigs_B, cfg)
+        keys_B = rows_B.groupby(key_cols).count().select_columns(key_cols)
+        rows_A = _semi_join_keys(key_rows_fn(sigs_A, cfg), keys_B,
+                                 key_cols, cfg)
+        rows = _tag_new(rows_A, 0).union(_tag_new(rows_B, 1))
+        return key_pairs(rows, key_cols, cfg,
+                         carry_cols=carry + ["is_new"],
+                         pair_filter=pair_filter)
+
+    def _minhash_inc():
+        pairs = _lsh_inc(band_key_rows, ["band", "band_hash"], [],
+                         _touches_new)
+        return _edges_only(_verified_jaccard(pairs, norm_all, cfg, attacher))
+
+    def _simhash_inc():
+        ham = simhash_pair_filter(cfg.simhash_hamming_max)
+        pairs = _lsh_inc(simhash_key_rows, ["block", "block_val"],
+                         ["simhash"],
+                         lambda t: ham(_touches_new(t)))
+        relaxed = max(0.5, cfg.jaccard_threshold - 0.1)
+        return _edges_only(
+            _verified_jaccard(pairs, norm_all, cfg, attacher, relaxed))
+
+    def _substring_inc():
+        try:
+            rows_A_all, _ = _load_stage(prior_root, "winnow_rows", chash)
+        except FileNotFoundError:
+            # pre-winnow_rows checkpoint: rebuild from the normalize
+            # artifact (correct, just not incremental for this pass)
+            rows_A_all = add_stage(
+                norm_A.select_columns(["doc_id", "norm_text", "tier"]),
+                Winnower, cfg)
+        rows_B = add_stage(
+            norm_B.select_columns(["doc_id", "norm_text", "tier"]),
+            Winnower, cfg).materialize()
+        keys_B = rows_B.groupby("fp").count().select_columns(["fp"])
+        rows_A = _semi_join_keys(
+            rows_A_all.select_columns(["fp", "doc_id", "pos"]), keys_B,
+            ["fp"], cfg)
+        rows = _tag_new(rows_A, 0).union(
+            _tag_new(rows_B.select_columns(["fp", "doc_id", "pos"]), 1))
+
+        def _pack_pp(t: pa.Table) -> pa.Array:
+            pa_ = t["pos_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pb_ = t["pos_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ok = (pa_ >= 0) & (pb_ >= 0) & (pa_ < (1 << 21)) & (pb_ < (1 << 21))
+            packed = (pa_ << 21) | pb_
+            arr = pa.array(packed)
+            if not ok.all():
+                arr = pc.if_else(pa.array(ok), arr, pa.scalar(None, pa.int64()))
+            return arr
+
+        pairs = key_pairs(rows, ["fp"], cfg,
+                          carry_cols=["pos", "is_new"],
+                          pair_filter=_touches_new, derive={"pp": _pack_pp})
+        if attacher is not None:
+            ver = pairs.map_batches(SubstringVerifier(cfg, text_ref=attacher.ref),
+                                    batch_format="pyarrow", batch_size=4096)
+        else:
+            with_texts = attach_pair_texts(pairs, norm_all, cfg)
+            ver = with_texts.map_batches(SubstringVerifier(cfg),
+                                         batch_format="pyarrow",
+                                         batch_size=4096)
+        return _edges_only(ver)
+
+    builders = {"exact": _exact_inc, "minhash": _minhash_inc,
+                "simhash": _simhash_inc, "substring": _substring_inc}
+    new_edges = None
+    for p in ("exact", "minhash", "simhash", "substring"):
+        if p in passes:
+            e = builders[p]()
+            new_edges = e if new_edges is None else new_edges.union(e)
+
+    # prior components enter as star edges (cluster_id IS the component's
+    # min doc_id, so (cluster_id, doc_id) reconnects them exactly)
+    prior_star = clusters_A.map_batches(
+        lambda t: pa.table({"a": t["cluster_id"], "b": t["doc_id"]}).filter(
+            pc.not_equal(t["cluster_id"], t["doc_id"])),
+        batch_format="pyarrow")
+    all_edges = prior_star if new_edges is None \
+        else dedup_pairs(new_edges).union(prior_star)
+    all_ids = clusters_A.select_columns(["doc_id"]).union(
+        norm_B.select_columns(["doc_id"]))
+    return cluster_edges(all_edges, all_ids, cfg, strategy=cluster_strategy)

@@ -433,6 +433,82 @@ def top_ngrams(sf_dir: str, gram_n: int = 2, k: int = 20):
     return agg.sort(["n", "gram"], descending=[True, False]).limit(k)
 
 
+# reserved key carrying each batch's Misra–Gries subtraction offset through
+# the same groupby as the data (token grams are whitespace-joined word
+# characters — a \x00-prefixed key cannot collide with one)
+_MG_DELTA_KEY = "\x00__MG_DELTA__"
+
+
+def top_ngrams_sketch(sf_dir: str, gram_n: int = 2, k: int = 20,
+                      counters: int = 512):
+    """(gram, n_approx, err_bound) — mergeable heavy-hitters sketch, the
+    scale path next to the exact ``top_ngrams`` anchor.
+
+    ``top_ngrams``'s combiner emits distinct-grams-PER-BATCH rows, so its
+    global ``groupby(gram)`` shuffle grows with the corpus vocabulary — at
+    10^12 documents that is the dominant exchange. This pass caps every
+    batch at ``counters`` rows with a Misra–Gries compress (subtract the
+    (counters+1)-th largest per-batch count from all counters, keep the
+    positive ones), making the shuffle O(batches · counters) regardless of
+    vocabulary. Merging MG summaries by pointwise addition preserves the
+    guarantee (Agarwal et al., "Mergeable Summaries", PODS 2012):
+
+        n_approx ≤ true_count ≤ n_approx + err_bound,
+
+    where ``err_bound`` = Σ per-batch subtraction offsets, carried through
+    the SAME groupby under the reserved ``_MG_DELTA_KEY`` row and surfaced
+    as a constant column (every gram whose true count exceeds err_bound is
+    guaranteed present in the sketch support). The bound is checked against
+    the exact path in tests/test_webtext.py; with ``counters`` ≥ the
+    per-batch vocabulary the output equals ``top_ngrams`` exactly with
+    err_bound 0.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g, _ = _token_ngrams(_as_array(t["text"]), gram_n)
+        vc = g.value_counts()
+        grams = vc.field("values")
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        delta = np.int64(0)
+        if len(cnts) > counters:
+            # (counters+1)-th largest = ascending order statistic at
+            # len-counters-1; strict > keeps ≤ `counters` survivors
+            delta = np.partition(cnts, len(cnts) - counters - 1)[
+                len(cnts) - counters - 1]
+            keep = cnts > delta
+            grams = grams.filter(pa.array(keep))
+            cnts = cnts[keep] - delta
+        return pa.table({
+            "gram": pa.concat_arrays(
+                [grams.cast(pa.string()),
+                 pa.array([_MG_DELTA_KEY], pa.string())]),
+            "n": pa.array(np.concatenate((cnts, [delta])))})
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
+    agg = partials.groupby("gram").aggregate(Sum("n", alias_name="n")) \
+        .materialize()
+    def _only_delta(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["gram"], _MG_DELTA_KEY))
+
+    def _no_delta(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["gram"], _MG_DELTA_KEY))
+
+    delta_row = agg.map_batches(_only_delta, batch_format="pyarrow") \
+        .take_all()
+    err = int(delta_row[0]["n"]) if delta_row else 0
+    top = agg.map_batches(_no_delta, batch_format="pyarrow") \
+        .sort(["n", "gram"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda t: pa.table({"gram": t["gram"], "n_approx": t["n"],
+                            "err_bound": pa.array([err] * len(t),
+                                                  pa.int64())}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Training-prep ops: chunking + PII redaction (C4-style hygiene)
 # ---------------------------------------------------------------------------

@@ -46,3 +46,63 @@ def test_write_atomic_idempotent(ray_session, tmp_path):
     assert n == 100
     write_atomic(ds, out, partition_label="shard-1")
     assert sorted(os.listdir(out)) == ["shard-0", "shard-1"]
+
+
+def test_incremental_update_matches_full_rerun(ray_session, tmp_path):
+    """incremental_update over a prior checkpointed run == full re-run over
+    prior ∪ increment, byte-identical labels, all four passes."""
+    import ray.data as rd
+    from fuzzy_matcher_ray.pipelines.dedup import (find_duplicates,
+                                                   incremental_update)
+    from fuzzy_matcher_ray.state.checkpoint import Checkpointer
+
+    cfg = PipelineConfig()
+    a = _docs_tbl(400, seed=41)
+    b = _docs_tbl(200, seed=42, id_offset=1_000_000)
+    root = str(tmp_path / "ck")
+    ck = Checkpointer(root, cfg.config_hash())
+    find_duplicates(rd.from_arrow(a), cfg, checkpointer=ck).materialize()
+
+    inc = incremental_update(root, rd.from_arrow(b), cfg).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    full = find_duplicates(
+        rd.from_arrow(pa.concat_tables([a, b])), cfg).to_pandas()[
+        ["doc_id", "cluster_id"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert len(inc) == 600
+    assert inc[["doc_id", "cluster_id"]].equals(full)
+    # the winnow_rows artifact persisted, so the substring pass really ran
+    # incrementally (no prior-corpus re-winnow)
+    assert os.path.isdir(os.path.join(root, "winnow_rows", "data"))
+
+
+def test_incremental_update_guards(ray_session, tmp_path):
+    import pytest
+    import ray.data as rd
+    from fuzzy_matcher_ray.pipelines.dedup import (find_duplicates,
+                                                   incremental_update)
+    from fuzzy_matcher_ray.state.checkpoint import Checkpointer
+
+    cfg = PipelineConfig()
+    a = _docs_tbl(120, seed=51)
+    root = str(tmp_path / "ck")
+    find_duplicates(rd.from_arrow(a), cfg,
+                    checkpointer=Checkpointer(root, cfg.config_hash())) \
+        .materialize()
+
+    # empty increment → prior clusters unchanged
+    empty = rd.from_arrow(_docs_tbl(0, seed=52))
+    out = incremental_update(root, empty, cfg).to_pandas()
+    assert len(out) == 120
+
+    # overlapping doc ids → hard error
+    with pytest.raises(ValueError, match="already exist"):
+        incremental_update(root, rd.from_arrow(_docs_tbl(10, seed=53)),
+                           cfg).to_pandas()
+
+    # missing artifacts → clear error
+    with pytest.raises(FileNotFoundError, match="no completed"):
+        incremental_update(str(tmp_path / "nope"),
+                           rd.from_arrow(_docs_tbl(5, seed=54,
+                                                   id_offset=9_000_000)),
+                           cfg).to_pandas()

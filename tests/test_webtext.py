@@ -288,3 +288,52 @@ def test_span_rebuild_block_boundaries(ray_session):
         columns=["doc_id", "kept_text"]).sort_values("doc_id") \
         .reset_index(drop=True)
     assert got.equals(exp)
+
+
+# --- Misra–Gries heavy-hitters sketch vs the exact anchor ---------------
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _exact_gram_counts(gram_n=2):
+    """Driver-side exact corpus bigram counts (the truth table)."""
+    import collections
+
+    import pyarrow.parquet as pq
+    texts = pq.read_table(f"{SF_SMOKE}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    c = collections.Counter()
+    for t in texts:
+        if not t:
+            continue
+        toks = t.split(" ")
+        for i in range(len(toks) - gram_n + 1):
+            c[" ".join(toks[i:i + gram_n])] += 1
+    return c
+
+
+def test_top_ngrams_sketch_exact_when_counters_large(ray_session):
+    from fuzzy_matcher_ray.pipelines.webtext import (top_ngrams,
+                                                     top_ngrams_sketch)
+    exact = top_ngrams(SF_SMOKE, k=20).to_pandas()
+    sk = top_ngrams_sketch(SF_SMOKE, k=20, counters=10**6).to_pandas()
+    assert (sk["err_bound"] == 0).all()
+    assert list(sk["gram"]) == list(exact["gram"])
+    assert list(sk["n_approx"]) == list(exact["n"])
+
+
+def test_top_ngrams_sketch_bound_holds(ray_session):
+    from fuzzy_matcher_ray.pipelines.webtext import top_ngrams_sketch
+    truth = _exact_gram_counts()
+    # tiny counter budget → real compression, bound must still hold
+    sk = top_ngrams_sketch(SF_SMOKE, k=10**6, counters=8).to_pandas()
+    err = int(sk["err_bound"].iloc[0])
+    assert err > 0  # the budget actually compressed something
+    for gram, n_approx in zip(sk["gram"], sk["n_approx"]):
+        t = truth[gram]
+        assert n_approx <= t <= n_approx + err, (gram, n_approx, t, err)
+    # mergeable-summaries guarantee: every gram with true count > err
+    # is present in the sketch support
+    support = set(sk["gram"])
+    missing = [g for g, n in truth.items() if n > err and g not in support]
+    assert not missing, missing[:5]
