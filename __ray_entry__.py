@@ -63,6 +63,32 @@ def _dedup_incremental(sf_dir: str):
         root, rd.from_arrow(_tbl(500, 72, 1_000_000)), cfg).sort("doc_id")
 
 
+def _dedup_sharded(sf_dir: str):
+    """Resumable fold-chain over 3 row-range shards of one crawl fixture
+    (disjoint urls ⇒ disjoint surrogate ids). Byte-identical-to-monolithic
+    parity is the pytest oracle (test_sharded.py); rows-only here."""
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.pipelines.dedup import dedup_sharded
+    from fuzzy_matcher_ray.sources.protocol import webpages_source
+    from fuzzy_matcher_ray.sources.webpages import write_webpages
+
+    import pyarrow as pa
+
+    pages = write_webpages("/tmp/fm_ray_shards", n_docs=1800, seed=74)
+    t = pa.concat_tables(list(webpages_source(pages).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")))
+    n = len(t)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    shards = [(f"part{i}",
+               (lambda i=i: rd.from_arrow(t.slice(cuts[i],
+                                                  cuts[i + 1] - cuts[i]))))
+              for i in range(3)]
+    return dedup_sharded(shards, "/tmp/fm_ray_shards_state",
+                         PipelineConfig()).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.pipelines import events as ev
@@ -165,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-shard fixture — deliberately NOT named dedup_*: the harness
         # pins that prefix to the documents-table row count)
         "incremental_dedup": _dedup_incremental,
+        # resumable fold-chain (dedup_sharded): per-shard checkpoint roots,
+        # prune-to-one-live-snapshot; monolithic parity is the pytest
+        # oracle (test_sharded.py); rows-only here (own 3-shard fixture)
+        "sharded_dedup": _dedup_sharded,
         "dedup_jaccard_brute": jaccard_brute,
         "dedup_minhash": minhash_only,
         "dedup_simhash": simhash_only,

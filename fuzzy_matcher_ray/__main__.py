@@ -87,6 +87,35 @@ def cmd_dedup(args) -> dict:
                                if m.get("resumed")] if ck else []}
 
 
+def cmd_dedup_sharded(args) -> dict:
+    from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.pipelines.dedup import dedup_sharded
+    from fuzzy_matcher_ray.state.checkpoint import write_atomic
+
+    passes = tuple(p.strip() for p in args.passes.split(",") if p.strip())
+    bad = [p for p in passes if p not in _VALID_PASSES]
+    if bad or not passes:
+        raise SystemExit(f"--passes: unknown pass(es) {bad or ['<empty>']}; "
+                         f"valid: {','.join(_VALID_PASSES)}")
+    paths = [p.strip() for p in args.inputs.split(",") if p.strip()]
+    if not paths:
+        raise SystemExit("--inputs: need >=1 comma-separated parquet paths")
+    # the full path is the shard's lineage label; factories keep skipped
+    # shards unread on resume
+    shards = [(p, (lambda p=p: _source(args.source, p))) for p in paths]
+    cfg = PipelineConfig()
+    t0 = time.perf_counter()
+    out = dedup_sharded(shards, args.state, cfg, passes=passes,
+                        prune=not args.no_prune)
+    write_atomic(out, args.output)
+    wall = time.perf_counter() - t0
+    n = _rows_written(args.output)
+    return {"job": "dedup_sharded", "rows": n, "sec": round(wall, 3),
+            "docs_per_sec": round(n / wall, 1) if wall else None,
+            "shards": len(paths), "passes": list(passes),
+            "state": args.state, "output": args.output}
+
+
 def cmd_span_dedup(args) -> dict:
     from fuzzy_matcher_ray.pipelines.webtext import dedup_spans, line_dedup
     from fuzzy_matcher_ray.state.checkpoint import write_atomic
@@ -130,6 +159,20 @@ def main(argv=None) -> int:
     d.add_argument("--source", default="webpages")
     d.add_argument("--passes", default="exact,minhash,simhash,substring")
     d.set_defaults(fn=cmd_dedup)
+
+    ds_ = sub.add_parser(
+        "dedup-sharded",
+        help="resumable multi-shard near-dup clustering (fold chain)")
+    ds_.add_argument("--inputs", required=True,
+                     help="comma-separated shard parquet paths, in order")
+    ds_.add_argument("--output", required=True)
+    ds_.add_argument("--state", required=True,
+                     help="checkpoint root (per-shard lineage lives here)")
+    ds_.add_argument("--source", default="webpages")
+    ds_.add_argument("--passes", default="exact,minhash,simhash,substring")
+    ds_.add_argument("--no-prune", action="store_true",
+                     help="keep every fold's clusters data (debugging)")
+    ds_.set_defaults(fn=cmd_dedup_sharded)
 
     s = sub.add_parser("span-dedup", help="sub-document span/line dedup")
     s.add_argument("--input", required=True)

@@ -530,11 +530,28 @@ def _touches_new(t: pa.Table) -> pa.Table:
                            pc.equal(t["is_new_b"], pa.scalar(1))))
 
 
-def incremental_update(prior_root: str, new_docs,
+def _increment_schemas(cfg: PipelineConfig):
+    """Pinned Arrow schemas for an EMPTY increment's checkpoint artifacts
+    (a zero-row shard must still write schema-ful stages so a later fold
+    can union it with the rest of the chain)."""
+    norm = pa.schema([("doc_id", pa.int64()), ("norm_text", pa.string()),
+                      ("fold_text", pa.string()), ("n_norm", pa.int64()),
+                      ("text_hash", pa.int64()), ("text_hash2", pa.int64()),
+                      ("tier", pa.int8())])
+    sig = pa.schema([("doc_id", pa.int64()),
+                     ("bands", pa.list_(pa.int64(), cfg.bands)),
+                     ("simhash", pa.int64())])
+    win = pa.schema([("fp", pa.int64()), ("doc_id", pa.int64()),
+                     ("pos", pa.int64())])
+    return norm, sig, win
+
+
+def incremental_update(prior_root: str | list[str], new_docs,
                        cfg: PipelineConfig | None = None,
                        passes: tuple = ("exact", "minhash", "simhash",
                                         "substring"),
-                       cluster_strategy: str = "auto"):
+                       cluster_strategy: str = "auto",
+                       checkpointer: Checkpointer | None = None):
     """Cluster a NEW shard against a prior ``find_duplicates`` run without
     re-scanning the prior corpus — the web-scale InsertEntries
     (``fuzzy_matcher.go:21-27``: the reference mutates a live trie; here the
@@ -554,6 +571,15 @@ def incremental_update(prior_root: str, new_docs,
     disjoint doc_id spaces (checked) and the same ``cfg`` as the prior run;
     ``verify_budget_per_doc`` is rejected (its per-doc ranking depends on
     the global candidate set, which an increment by design does not see).
+
+    ``prior_root`` may be a LIST of shard roots (a fold chain, oldest
+    first): per-shard normalize/signatures/winnow_rows artifacts union into
+    the prior index, while ``clusters`` — the current labels for every doc
+    folded so far — come from the LAST root only. With ``checkpointer``
+    the increment's own artifacts (normalize/signatures/winnow_rows) and
+    the merged ``clusters`` persist under its root, making the output a
+    valid next link of the chain — ``dedup_sharded`` builds web-scale runs
+    out of exactly this step.
     """
     import ray
     import ray.data as rd
@@ -562,11 +588,37 @@ def incremental_update(prior_root: str, new_docs,
     if cfg.verify_budget_per_doc is not None:
         raise ValueError("incremental_update: verify_budget_per_doc breaks "
                          "full-rerun parity; run with budget=None")
-    norm_A, chash = _load_stage(prior_root, "normalize")
-    clusters_A, _ = _load_stage(prior_root, "clusters", chash)
+    roots = [prior_root] if isinstance(prior_root, str) else list(prior_root)
+    if not roots:
+        raise ValueError("incremental_update: no prior roots")
+    loaded = []                       # [(root, normalize_ds, config_hash)]
+    for r in roots:
+        n, h = _load_stage(r, "normalize")
+        loaded.append((r, n, h))
+    chash = loaded[-1][2]
+    norm_A = loaded[0][1]
+    for _, n, _ in loaded[1:]:
+        norm_A = norm_A.union(n)
+    clusters_A, _ = _load_stage(roots[-1], "clusters", chash)
+
+    ck = checkpointer if (checkpointer is not None
+                          and checkpointer.enabled) else None
+    norm_schema, sig_schema, win_schema = _increment_schemas(cfg)
+    edge_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
 
     if new_docs.limit(1).count() == 0:
-        return clusters_A.select_columns(["doc_id", "cluster_id"])
+        out = clusters_A.select_columns(["doc_id", "cluster_id"])
+        if ck is not None:
+            # keep the chain uniform: an empty shard still writes schema-ful
+            # (zero-row) artifacts plus the carried-forward labels
+            import ray.data as _rd
+            for name, sch in (("normalize", norm_schema),
+                              ("signatures", sig_schema),
+                              ("winnow_rows", win_schema)):
+                ck.stage(name, lambda sch=sch: _rd.from_arrow(
+                    sch.empty_table()), empty_schema=sch)
+            return ck.stage("clusters", lambda: out)
+        return out
 
     from fuzzy_matcher_ray.stages.joins import (BROADCAST_MAX_ROWS,
                                                 BroadcastAttacher,
@@ -579,7 +631,11 @@ def incremental_update(prior_root: str, new_docs,
     cfg = _dc.replace(cfg, join_num_partitions=partitions_for(
         cfg.join_num_partitions, src_bytes))
 
-    norm_B = normalized_docs(new_docs, cfg).materialize()
+    norm_B = (ck.stage("normalize",
+                       lambda: normalized_docs(new_docs, cfg),
+                       empty_schema=norm_schema)
+              if ck is not None
+              else normalized_docs(new_docs, cfg).materialize())
 
     # --- disjoint-id guard: one streaming filter over the slim prior ids
     # against the broadcast increment ids (the increment is the small side
@@ -661,8 +717,20 @@ def incremental_update(prior_root: str, new_docs,
 
     sigs_B = None
     if "minhash" in passes or "simhash" in passes:
-        sigs_B = signature_table(norm_B, cfg).materialize()
-        sigs_A, _ = _load_stage(prior_root, "signatures", chash)
+        sigs_B = (ck.stage("signatures",
+                           lambda: signature_table(norm_B, cfg),
+                           empty_schema=sig_schema)
+                  if ck is not None
+                  else signature_table(norm_B, cfg).materialize())
+        sigs_A = None
+        for r, n, h in loaded:
+            try:
+                s, _ = _load_stage(r, "signatures", h)
+            except FileNotFoundError:
+                # root built without the LSH passes: re-sign from its
+                # normalize artifact (correct, just not incremental)
+                s = signature_table(n, cfg)
+            sigs_A = s if sigs_A is None else sigs_A.union(s)
 
     def _lsh_inc(key_rows_fn, key_cols, carry, pair_filter):
         rows_B = key_rows_fn(sigs_B, cfg)
@@ -689,17 +757,24 @@ def incremental_update(prior_root: str, new_docs,
             _verified_jaccard(pairs, norm_all, cfg, attacher, relaxed))
 
     def _substring_inc():
-        try:
-            rows_A_all, _ = _load_stage(prior_root, "winnow_rows", chash)
-        except FileNotFoundError:
-            # pre-winnow_rows checkpoint: rebuild from the normalize
-            # artifact (correct, just not incremental for this pass)
-            rows_A_all = add_stage(
-                norm_A.select_columns(["doc_id", "norm_text", "tier"]),
+        rows_A_all = None
+        for r, n, h in loaded:
+            try:
+                w, _ = _load_stage(r, "winnow_rows", h)
+            except FileNotFoundError:
+                # pre-winnow_rows checkpoint: rebuild from that root's
+                # normalize artifact (correct, just not incremental)
+                w = add_stage(n.select_columns(["doc_id", "norm_text",
+                                                "tier"]), Winnower, cfg)
+            rows_A_all = w if rows_A_all is None else rows_A_all.union(w)
+
+        def _win_B():
+            return add_stage(
+                norm_B.select_columns(["doc_id", "norm_text", "tier"]),
                 Winnower, cfg)
-        rows_B = add_stage(
-            norm_B.select_columns(["doc_id", "norm_text", "tier"]),
-            Winnower, cfg).materialize()
+
+        rows_B = (ck.stage("winnow_rows", _win_B, empty_schema=win_schema)
+                  if ck is not None else _win_B().materialize())
         keys_B = rows_B.groupby("fp").count().select_columns(["fp"])
         rows_A = _semi_join_keys(
             rows_A_all.select_columns(["fp", "doc_id", "pos"]), keys_B,
@@ -738,6 +813,12 @@ def incremental_update(prior_root: str, new_docs,
             e = builders[p]()
             new_edges = e if new_edges is None else new_edges.union(e)
 
+    if new_edges is not None:
+        raw_edges = new_edges
+        new_edges = (ck.stage("edges_all", lambda: dedup_pairs(raw_edges),
+                              empty_schema=edge_schema)
+                     if ck is not None else dedup_pairs(raw_edges))
+
     # prior components enter as star edges (cluster_id IS the component's
     # min doc_id, so (cluster_id, doc_id) reconnects them exactly)
     prior_star = clusters_A.map_batches(
@@ -745,7 +826,127 @@ def incremental_update(prior_root: str, new_docs,
             pc.not_equal(t["cluster_id"], t["doc_id"])),
         batch_format="pyarrow")
     all_edges = prior_star if new_edges is None \
-        else dedup_pairs(new_edges).union(prior_star)
+        else new_edges.union(prior_star)
     all_ids = clusters_A.select_columns(["doc_id"]).union(
         norm_B.select_columns(["doc_id"]))
-    return cluster_edges(all_edges, all_ids, cfg, strategy=cluster_strategy)
+
+    def _label():
+        return cluster_edges(all_edges, all_ids, cfg,
+                             strategy=cluster_strategy)
+
+    return ck.stage("clusters", _label) if ck is not None else _label()
+
+
+def _fold_done(root: str, key: str) -> bool:
+    """A fold is complete when its clusters manifest carries the fold's
+    lineage key and either the data is present or it was pruned (folded
+    into a later link)."""
+    import json
+    import os
+    manifest = os.path.join(root, "clusters", "_MANIFEST.json")
+    if not os.path.isfile(manifest):
+        return False
+    try:
+        with open(manifest) as f:
+            m = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return False
+    if m.get("config_hash") != key:
+        return False
+    return bool(m.get("pruned")) or os.path.isdir(
+        os.path.join(root, "clusters", "data"))
+
+
+def _prune_clusters(root: str) -> None:
+    """Drop a superseded fold's clusters DATA (its labels were folded into
+    the next link); the manifest stays as lineage, flagged pruned.
+    Idempotent — safe to re-run on resume."""
+    import json
+    import os
+    import shutil
+    manifest = os.path.join(root, "clusters", "_MANIFEST.json")
+    data_dir = os.path.join(root, "clusters", "data")
+    if not os.path.isfile(manifest):
+        return
+    with open(manifest) as f:
+        m = json.load(f)
+    if not m.get("pruned"):
+        m["pruned"] = True
+        with open(manifest, "w") as f:
+            json.dump(m, f, indent=2)
+    if os.path.isdir(data_dir):
+        shutil.rmtree(data_dir)
+
+
+def dedup_sharded(shards, state_root: str,
+                  cfg: PipelineConfig | None = None,
+                  passes: tuple = ("exact", "minhash", "simhash",
+                                   "substring"),
+                  prune: bool = True):
+    """Resumable sharded flagship: fold an ordered list of corpus shards
+    into ONE clustering, one ``incremental_update`` link at a time — the
+    operational shape of a 10^12-doc run (per-shard checkpoint roots give
+    the per-partition lineage + metrics; a killed ``ray job submit`` run
+    resumes at its first unfinished fold, and inside that fold at its
+    first unfinished stage).
+
+    ``shards``: ordered ``[(label, dataset_or_factory), ...]``. The label
+    is the shard's identity in the lineage key (as ``cmd_dedup`` uses the
+    input path), so a re-run with the same labels/config/passes skips
+    finished folds WITHOUT evaluating their datasets — factories for
+    skipped shards are never called. Layout:
+    ``state_root/shard-00000-<label>/<stage>/{data,_MANIFEST.json}``.
+
+    Each fold persists the increment's normalize/signatures/winnow_rows
+    plus the merged clusters. With ``prune`` the previous fold's clusters
+    DATA is dropped once the next fold lands, so checkpoint storage stays
+    O(corpus + labels-of-corpus), not O(shards × corpus); the pruned
+    manifest remains as lineage. Returns the final (doc_id, cluster_id)
+    Dataset — byte-identical to ``find_duplicates`` over the concatenation
+    of all shards (tests/test_sharded.py).
+    """
+    import os
+    import re as _re
+
+    import ray.data as rd
+
+    cfg = cfg or PipelineConfig()
+    shards = list(shards)
+    if not shards:
+        raise ValueError("dedup_sharded: no shards")
+    labels = [lab for lab, _ in shards]
+    if len(set(labels)) != len(labels):
+        raise ValueError("dedup_sharded: shard labels must be unique "
+                         f"(got {labels!r})")
+    chain: list[str] = []
+    prev_root: str | None = None
+    for i, (label, ds) in enumerate(shards):
+        safe = _re.sub(r"[^A-Za-z0-9._-]+", "_", str(label)).strip("_")[:80]
+        sroot = os.path.join(state_root, f"shard-{i:05d}-{safe}")
+        key = (f"{cfg.config_hash()}:{label}:"
+               + ",".join(sorted(passes)))
+        if not _fold_done(sroot, key):
+            data = ds() if callable(ds) else ds
+            ck = Checkpointer(sroot, key)
+            if not chain:
+                if data.limit(1).count() == 0:
+                    # an empty FIRST shard still writes a valid chain link
+                    # (find_duplicates' empty fast path writes no stages)
+                    ns, ss, ws = _increment_schemas(cfg)
+                    cl = pa.schema([("doc_id", pa.int64()),
+                                    ("cluster_id", pa.int64())])
+                    for name, sch in (("normalize", ns), ("signatures", ss),
+                                      ("winnow_rows", ws), ("clusters", cl)):
+                        ck.stage(name, lambda sch=sch: rd.from_arrow(
+                            sch.empty_table()), empty_schema=sch)
+                else:
+                    find_duplicates(data, cfg, checkpointer=ck,
+                                    passes=passes)
+            else:
+                incremental_update(chain, data, cfg, passes=passes,
+                                   checkpointer=ck)
+        if prune and prev_root is not None:
+            _prune_clusters(prev_root)
+        chain.append(sroot)
+        prev_root = sroot
+    return rd.read_parquet(os.path.join(prev_root, "clusters", "data"))
