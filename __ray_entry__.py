@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": lambda d: textops.normalized_text(d).sort("doc_id"),
         "exact_dedup_first": textops.exact_dedup_first,
         "exact_clusters": textops.exact_clusters,
+        "cluster_representatives": textops.cluster_representatives,
         # --- text analysis (SQL-checked) ---
         "token_counts": lambda d: textops.token_counts(d).sort("doc_id"),
         "text_quality": lambda d: textops.text_quality(d).sort("doc_id"),
@@ -140,6 +141,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": webtext.chunk_documents,
         "redact_pii": webtext.redact_pii,
         "decontaminate": webtext.decontaminate,
+        # Bloom-filter scale path: one-sided error (may over-drop, never
+        # leaks eval data) ⇒ rows-only; the subset-of-exact oracle lives in
+        # tests/test_webtext.py
+        "decontaminate_bloom": webtext.decontaminate_bloom,
         "top_ngrams": webtext.top_ngrams,
         # mergeable Misra–Gries heavy hitters — approximate in count by
         # design, rows-only (the err_bound parity test vs the exact path
@@ -286,6 +291,22 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, min(doc_id) OVER "
             f"(PARTITION BY {_norm_of(_COAL)}) AS cluster_id "
             "FROM documents ORDER BY doc_id",
+        "cluster_representatives": f"""
+            WITH labeled AS (
+                SELECT doc_id,
+                       length({_COAL})::BIGINT AS n_chars,
+                       min(doc_id) OVER
+                           (PARTITION BY {_norm_of(_COAL)}) AS cluster_id
+                FROM documents),
+            mx AS (SELECT cluster_id, max(n_chars) AS n_chars
+                   FROM labeled GROUP BY cluster_id)
+            SELECT l.cluster_id::BIGINT AS cluster_id,
+                   min(l.doc_id)::BIGINT AS doc_id,
+                   any_value(m.n_chars)::BIGINT AS n_chars
+            FROM labeled l
+            JOIN mx m ON l.cluster_id = m.cluster_id
+                     AND l.n_chars = m.n_chars
+            GROUP BY l.cluster_id ORDER BY cluster_id""",
         "token_counts":
             f"SELECT doc_id, ({_NTOK})::BIGINT AS n_tokens FROM documents "
             "ORDER BY doc_id",

@@ -67,6 +67,51 @@ def exact_clusters(sf_dir: str):
     return out.select_columns(["doc_id", "cluster_id"]).sort("doc_id")
 
 
+def cluster_representatives(sf_dir: str):
+    """(cluster_id, doc_id, n_chars) — per exact-dup cluster, the BEST
+    surviving copy: longest raw text, ties broken by min doc_id (the
+    training-data "keep best copy" selection policy, vs the arbitrary
+    min-id winner of ``exact_dedup_first``).
+
+    Shape: one groupby(norm_text) labels clusters (min doc_id = label);
+    everything after runs over slim (cluster_id, doc_id, n_chars) rows —
+    max-length per cluster, then min doc_id among the maxima — so the text
+    column never re-shuffles. SQL-checked (window-argmax parity).
+    """
+    from ray.data.aggregate import Max, Min
+
+    from fuzzy_matcher_ray.stages.joins import attach_columns
+
+    def _slim(t: pa.Table) -> pa.Table:
+        filled = pc.fill_null(t["text"], "")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": pc.fill_null(normalize_array(t["text"]), ""),
+            "n_chars": pc.cast(pc.utf8_length(filled), pa.int64())})
+
+    slim = _docs(sf_dir).map_batches(_slim, batch_format="pyarrow") \
+        .materialize()
+    reps = slim.groupby("norm_text").aggregate(
+        Min("doc_id", alias_name="cluster_id"))
+    labeled = attach_columns(slim, reps, "norm_text", "norm_text",
+                             {"cluster_id": "cluster_id"}, how="inner") \
+        .select_columns(["cluster_id", "doc_id", "n_chars"]).materialize()
+    mx = labeled.groupby("cluster_id").aggregate(
+        Max("n_chars", alias_name="max_chars"))
+    best = attach_columns(labeled, mx, "cluster_id", "cluster_id",
+                          {"max_chars": "max_chars"}, how="inner")
+
+    def _winners(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["n_chars"], t["max_chars"]))
+        return pa.table({"cluster_id": t["cluster_id"],
+                         "doc_id": t["doc_id"], "n_chars": t["n_chars"]})
+
+    out = best.map_batches(_winners, batch_format="pyarrow") \
+        .groupby("cluster_id").aggregate(Min("doc_id", alias_name="doc_id"),
+                                         Max("n_chars", alias_name="n_chars"))
+    return out.sort("cluster_id")
+
+
 def token_counts(sf_dir: str):
     """(doc_id, n_tokens) — whitespace-delimited token count."""
     def _f(t: pa.Table) -> pa.Table:

@@ -348,6 +348,88 @@ def decontaminate(sf_dir: str, n_eval: int = 20, gram_n: int = 3,
     return ds.map_batches(_survivors, batch_format="pyarrow").sort("doc_id")
 
 
+def _bloom_params(n_keys: int, bits_per_key: int) -> int:
+    """Power-of-two bit count ≥ bits_per_key·n_keys (mask-indexable)."""
+    want = max(64, bits_per_key * max(n_keys, 1))
+    return 1 << int(want - 1).bit_length()
+
+
+def _bloom_build(hashes: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """Packed uint64 Bloom bit array; k double-hashed probes per key."""
+    bits = np.zeros(n_bits // 64, np.uint64)
+    h1 = hashes.astype(np.uint64)
+    h2 = (h1 >> np.uint64(32)) | np.uint64(1)
+    mask = np.uint64(n_bits - 1)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(bits, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    return bits
+
+
+def _bloom_test(bits: np.ndarray, hashes: np.ndarray, k: int) -> np.ndarray:
+    """Membership mask (true ⇒ maybe-present; false ⇒ definitely absent)."""
+    n_bits = len(bits) * 64
+    h1 = hashes.astype(np.uint64)
+    h2 = (h1 >> np.uint64(32)) | np.uint64(1)
+    mask = np.uint64(n_bits - 1)
+    hit = np.ones(len(hashes), bool)
+    for i in range(k):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+        hit &= ((word >> (idx & np.uint64(63))) & np.uint64(1)) != 0
+    return hit
+
+
+def decontaminate_bloom(sf_dir: str, n_eval: int = 20, gram_n: int = 3,
+                        max_hits: int = 5, bits_per_gram: int = 16,
+                        k: int = 8):
+    """``decontaminate``'s scale path: the eval gram set becomes a fixed-size
+    Bloom filter instead of an exact value set.
+
+    The exact path broadcasts every distinct eval gram string — fine for
+    benchmark-sized eval sets, but a 10^9-gram holdout (multi-benchmark
+    suites, dedup-against-validation at pre-training scale) wants O(bits)
+    not O(strings): at 16 bits/gram + 8 probes the filter is ~2 GB for 10^9
+    grams with ~6e-4 false-positive rate, shipped once via ``ray.put``.
+    Error is ONE-SIDED in the safe direction: false positives only, so the
+    Bloom path may drop extra clean docs (needs ≥ ``max_hits`` FP grams in
+    one doc) but can never keep a contaminated one —
+    survivors(bloom) ⊆ survivors(exact), asserted by tests/test_webtext.py.
+    Rows-only in the driver contract (approximate by design; the exact
+    path ``decontaminate`` is the SQL-checked anchor).
+    """
+    from fuzzy_matcher_ray.functions.fingerprint import content_hash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ev = ds.filter(expr=f"doc_id < {n_eval}")
+
+    def _grams(t: pa.Table) -> pa.Table:
+        g, _ = _token_ngrams(_as_array(t["text"]), gram_n)
+        return pa.table({"g": pc.unique(g)})
+
+    eval_tbl = pa.concat_tables(
+        ev.map_batches(_grams, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    eval_grams = pc.unique(eval_tbl["g"].combine_chunks())
+    n_bits = _bloom_params(len(eval_grams), bits_per_gram)
+    bits = _bloom_build(content_hash(eval_grams), n_bits, k)
+    ref = ray.put(bits)
+
+    def _survivors(t: pa.Table) -> pa.Table:
+        ids = _as_array(t["doc_id"]).to_numpy(zero_copy_only=False)
+        keep_mask = ids >= n_eval
+        g, doc_of = _token_ngrams(_as_array(t["text"]), gram_n)
+        hit = _bloom_test(ray.get(ref), content_hash(g), k)
+        h = np.bincount(doc_of, weights=hit.astype(np.int64),
+                        minlength=len(ids))
+        keep_mask &= h < max_hits
+        return pa.table({"doc_id": pa.array(ids[keep_mask], pa.int64())})
+
+    return ds.map_batches(_survivors, batch_format="pyarrow").sort("doc_id")
+
+
 def _bigram_counts(text: pa.Array, n_rows: int,
                    gram_n: int = 2) -> tuple[np.ndarray, np.ndarray]:
     """Per-row (total, distinct) positional ``gram_n``-gram counts — the

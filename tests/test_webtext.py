@@ -337,3 +337,46 @@ def test_top_ngrams_sketch_bound_holds(ray_session):
     support = set(sk["gram"])
     missing = [g for g, n in truth.items() if n > err and g not in support]
     assert not missing, missing[:5]
+
+
+def test_decontaminate_bloom_one_sided(ray_session):
+    """Bloom survivors ⊆ exact survivors (false positives only: the filter
+    may over-drop, never keeps a contaminated doc), and at default sizing
+    the over-drop is negligible. A degenerate 1-bit/1-probe filter still
+    keeps the subset property while visibly over-dropping."""
+    from fuzzy_matcher_ray.pipelines.webtext import (decontaminate,
+                                                     decontaminate_bloom)
+
+    sf = "/root/testdata/sf0.001"
+    exact = set(decontaminate(sf).to_pandas().doc_id)
+    bloom = set(decontaminate_bloom(sf).to_pandas().doc_id)
+    assert bloom <= exact
+    # default 16 bits/gram + 8 probes: fp ~6e-4 per gram; a doc needs >=5
+    # FP grams to be wrongly dropped — expect (near-)zero over-drop
+    assert len(bloom) >= 0.99 * len(exact)
+
+    tiny = set(decontaminate_bloom(sf, bits_per_gram=1, k=1)
+               .to_pandas().doc_id)
+    assert tiny <= exact
+
+
+def test_bloom_kernels_exactness():
+    """Membership is exact for inserted keys (no false negatives), and the
+    FP rate of a correctly-sized filter stays near theory."""
+    import numpy as np
+
+    from fuzzy_matcher_ray.pipelines.webtext import (_bloom_build,
+                                                     _bloom_params,
+                                                     _bloom_test)
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 2**63, size=20_000, dtype=np.int64) \
+        .astype(np.uint64)
+    others = rng.integers(0, 2**63, size=20_000, dtype=np.int64) \
+        .astype(np.uint64)
+    others = others[~np.isin(others, keys)]
+    n_bits = _bloom_params(len(keys), 16)
+    bits = _bloom_build(keys, n_bits, 8)
+    assert _bloom_test(bits, keys, 8).all()          # no false negatives
+    fp = _bloom_test(bits, others, 8).mean()
+    assert fp < 0.005                                 # theory ~6e-4
