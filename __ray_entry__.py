@@ -150,6 +150,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # design, rows-only (the err_bound parity test vs the exact path
         # lives in tests/test_webtext.py)
         "top_ngrams_sketch": webtext.top_ngrams_sketch,
+        # mergeable HyperLogLog cardinality — approximate by design,
+        # rows-only (3σ bound vs the exact distinct count tested in
+        # tests/test_webtext.py)
+        "distinct_ngrams_hll": webtext.distinct_ngrams_hll,
         "repetition_scores": webtext.repetition_scores,
         "quality_filter": webtext.quality_filter,
         # rows-only: the crawl table is its own deterministic fixture (the

@@ -515,6 +515,85 @@ def top_ngrams(sf_dir: str, gram_n: int = 2, k: int = 20):
     return agg.sort(["n", "gram"], descending=[True, False]).limit(k)
 
 
+def _hll_registers(hashes: np.ndarray, p: int) -> np.ndarray:
+    """HyperLogLog register array (2^p uint8) from 64-bit key hashes.
+
+    Register j = max rank over keys routed to j, rank = 1 + leading-zero
+    count of the low (64-p) hash bits. The floor(log2) uses ``np.frexp``
+    (x = m·2^e, 0.5 ≤ m < 1 ⇒ floor(log2 x) = e-1) — exact, no float
+    rounding edge at powers of two.
+    """
+    from fuzzy_matcher_ray.functions.shingle import splitmix64
+
+    m = 1 << p
+    regs = np.zeros(m, np.uint8)
+    if len(hashes) == 0:
+        return regs
+    # finalize: register routing needs uniform HIGH bits — a caller whose
+    # keys only span part of the 64-bit range (e.g. sign-cleared ids) would
+    # otherwise strand registers at zero and saturate the estimator
+    h = splitmix64(hashes.astype(np.uint64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rem = h & np.uint64((1 << (64 - p)) - 1)
+    rank = np.empty(len(h), np.uint8)
+    nz = rem != 0
+    _, e = np.frexp(rem[nz].astype(np.float64))
+    rank[nz] = ((64 - p) - (e - 1)).astype(np.uint8)
+    rank[~nz] = np.uint8(64 - p + 1)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Standard bias-corrected HLL estimate with the small-range
+    (linear-counting) correction; 64-bit hashes need no large-range one."""
+    m = float(len(regs))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            est = m * np.log(m / zeros)
+    return float(est)
+
+
+def distinct_ngrams_hll(sf_dir: str, gram_n: int = 3, p: int = 14):
+    """One-row (n_distinct_est:int64, p:int64) — corpus-wide distinct token
+    ``gram_n``-gram cardinality via HyperLogLog (the mergeable-sketch
+    counterpart of an exact COUNT(DISTINCT): vocabulary sizing, shard
+    dedup-rate monitoring, join-cardinality planning).
+
+    Shape: each batch reduces to ONE 2^p-byte register row (16 KB at
+    p=14) inside ``map_batches``; registers merge by elementwise max on
+    the driver — associative, commutative, idempotent, so the result is
+    independent of batching and the exchange is O(batches · 2^p) bytes
+    with NO shuffle at all (an exact distinct count is a vocabulary-sized
+    groupby — the dominant exchange at 10^12 docs). Standard error
+    ≈ 1.04/√2^p (~0.8 % at p=14), bound-tested vs the exact count in
+    tests/test_webtext.py; rows-only in the driver contract (approximate
+    by design).
+    """
+    from fuzzy_matcher_ray.functions.fingerprint import content_hash
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    m = 1 << p
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g, _ = _token_ngrams(_as_array(t["text"]), gram_n)
+        regs = _hll_registers(content_hash(pc.unique(g)), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(m, np.uint8)
+    for t in ds.map_batches(_partial, batch_format="pyarrow") \
+               .iter_batches(batch_size=1 << 10, batch_format="pyarrow"):
+        for buf in t["regs"].to_pylist():
+            np.maximum(merged, np.frombuffer(buf, np.uint8), out=merged)
+    est = int(round(_hll_estimate(merged)))
+    return rd.from_arrow(pa.table({"n_distinct_est": pa.array([est],
+                                                              pa.int64()),
+                                   "p": pa.array([p], pa.int64())}))
+
+
 # reserved key carrying each batch's Misra–Gries subtraction offset through
 # the same groupby as the data (token grams are whitespace-joined word
 # characters — a \x00-prefixed key cannot collide with one)

@@ -380,3 +380,54 @@ def test_bloom_kernels_exactness():
     assert _bloom_test(bits, keys, 8).all()          # no false negatives
     fp = _bloom_test(bits, others, 8).mean()
     assert fp < 0.005                                 # theory ~6e-4
+
+
+def test_hll_kernel_error_bound():
+    """Register-level: estimate within 3σ (σ = 1.04/√m) across three
+    magnitudes, and merging split register sets == one-pass registers."""
+    import numpy as np
+
+    from fuzzy_matcher_ray.pipelines.webtext import (_hll_estimate,
+                                                     _hll_registers)
+
+    p = 14
+    rng = np.random.default_rng(11)
+    for n in (500, 20_000, 400_000):
+        h = rng.integers(0, 2**63, size=n, dtype=np.int64).astype(np.uint64)
+        h = np.unique(h)
+        est = _hll_estimate(_hll_registers(h, p))
+        sigma = 1.04 / np.sqrt(1 << p)
+        assert abs(est - len(h)) / len(h) < 3 * sigma, (n, est)
+        # mergeability: max of split halves == one pass
+        a = _hll_registers(h[: n // 2], p)
+        b = _hll_registers(h[n // 2:], p)
+        assert np.array_equal(np.maximum(a, b), _hll_registers(h, p))
+
+
+def test_distinct_ngrams_hll_vs_exact(ray_session):
+    """Pipeline-level: HLL estimate within 3σ of the exact distinct
+    trigram count of the documents table."""
+    import duckdb
+    import numpy as np
+
+    from fuzzy_matcher_ray.pipelines.webtext import distinct_ngrams_hll
+
+    sf = "/root/testdata/sf0.001"
+    est = distinct_ngrams_hll(sf).to_pandas().n_distinct_est[0]
+    con = duckdb.connect()
+    exact = con.execute(f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(coalesce(text, ''), ' '))
+                       AS tok,
+                   generate_subscripts(string_split(coalesce(text, ''), ' '),
+                                       1) AS pos
+            FROM read_parquet('{sf}/documents.parquet')),
+        grams AS (
+            SELECT a.tok || ' ' || b.tok || ' ' || c.tok AS g
+            FROM toks a
+            JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2)
+        SELECT count(DISTINCT g) FROM grams""").fetchone()[0]
+    con.close()
+    sigma = 1.04 / np.sqrt(1 << 14)
+    assert abs(est - exact) / exact < 3 * sigma, (est, exact)
