@@ -185,6 +185,54 @@ def run_bench() -> dict:
     webtext.extract_html_pages(SF_DIR, n_docs=20_000).count()
     queries["html_extract_20k"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    webtext.distinct_ngrams_hll(SF_DIR).count()
+    queries["distinct_ngrams_hll"] = round(time.perf_counter() - t0, 3)
+
+    # incremental fold: +10% increment against the headline corpus's
+    # checkpointed artifacts, vs re-running the full pipeline over the
+    # concatenation — the InsertEntries value proposition, measured.
+    # Prior artifacts build OUTSIDE the timed windows (its wall is the
+    # headline above); timed: (a) the incremental fold, (b) the full rerun.
+    import numpy as _np
+    import pyarrow as _pa
+    import ray.data as _rd
+
+    from fuzzy_matcher_ray.pipelines.dedup import incremental_update
+    from fuzzy_matcher_ray.state.checkpoint import Checkpointer
+
+    # bound the base at 40k docs so this entry adds ~2 bounded pipeline runs
+    # (artifact build + full rerun), not 2 more headline-sized ones
+    inc_base_docs = min(n_docs, 40_000)
+    inc_base_path = write_webpages("/tmp/fmr_bench_corpus",
+                                   n_docs=inc_base_docs, seed=11)
+    inc_docs = max(inc_base_docs // 10, 1000)
+    inc_path = write_webpages("/tmp/fmr_bench_corpus", n_docs=inc_docs,
+                              seed=13)
+    base = _pa.concat_tables(list(webpages_source(inc_base_path).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")))
+    inc_raw = _pa.concat_tables(list(webpages_source(inc_path).iter_batches(
+        batch_size=1 << 20, batch_format="pyarrow")))
+    # disjoint id space for the increment (doc_ids are hashes, so bit tricks
+    # collide: remap to a dense range above the base max)
+    base_max = int(_pa.compute.max(base["doc_id"]).as_py())
+    inc_tbl = inc_raw.set_column(
+        inc_raw.schema.get_field_index("doc_id"), "doc_id",
+        _pa.array(base_max + 1 + _np.arange(inc_raw.num_rows, dtype="int64")))
+    import shutil as _sh
+    _sh.rmtree("/tmp/fmr_bench_inc_ck", ignore_errors=True)
+    ck = Checkpointer("/tmp/fmr_bench_inc_ck", cfg.config_hash() + ":bench")
+    find_duplicates(_rd.from_arrow(base), cfg, checkpointer=ck).materialize()
+    t0 = time.perf_counter()
+    n_inc = incremental_update("/tmp/fmr_bench_inc_ck",
+                               _rd.from_arrow(inc_tbl), cfg).count()
+    queries["incremental_fold"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    find_duplicates(_rd.from_arrow(_pa.concat_tables([base, inc_tbl])),
+                    cfg).count()
+    queries["full_rerun_same_size"] = round(time.perf_counter() - t0, 3)
+    assert n_inc == inc_base_docs + inc_docs, (n_inc, inc_base_docs, inc_docs)
+
     ray.shutdown()
     return {
         "metric": "near-dup dedup end-to-end wall",

@@ -518,6 +518,30 @@ def _semi_join_keys(rows, keys_ds, key_cols, cfg: PipelineConfig):
                      aggregator_ray_remote_args=JOIN_AGG_ARGS)
 
 
+def _semi_join_rows(rows_prior, rows_inc, key_cols, cfg: PipelineConfig):
+    """Prior rows whose ``key_cols`` combo appears among the INCREMENT's
+    key rows.
+
+    The increment is the small side by definition: while its row count is
+    within the broadcast budget, its distinct combined keys come from ONE
+    driver pass (``np.unique`` over streamed batches) and the prior side
+    streams through a broadcast membership filter — zero Ray shuffles.
+    The distinct-keys hash groupby that a shuffle semi-join needs costs
+    ~5-8 s of fixed overhead per execution on one node regardless of size
+    (and ``_semi_join_keys`` must execute it twice: gate + collect), which
+    at bench scale made the fold slower than a full re-run. Beyond the
+    budget the groupby + hash semi-join path takes over — that is the
+    multi-node shape, where the fixed cost parallelizes.
+    """
+    from fuzzy_matcher_ray.stages.candidates import (
+        BROADCAST_KEYS_MAX, _collect_combined_keys, _membership_filter)
+    if rows_inc.count() <= BROADCAST_KEYS_MAX:
+        arr = _collect_combined_keys(rows_inc, key_cols)
+        return _membership_filter(rows_prior, key_cols, arr)
+    keys_inc = rows_inc.groupby(key_cols).count().select_columns(key_cols)
+    return _semi_join_keys(rows_prior, keys_inc, key_cols, cfg)
+
+
 def _tag_new(ds, flag: int):
     def _f(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -690,9 +714,7 @@ def incremental_update(prior_root: str | list[str], new_docs,
         intra = exact_dup_edges(norm_B, cfg)
         # A→B links: only prior rows whose 128-bit key the increment carries
         rows_B = _hash_rows(norm_B).materialize()
-        keys_B = rows_B.groupby(["text_hash", "text_hash2"]).count() \
-            .select_columns(["text_hash", "text_hash2"])
-        rows_A = _semi_join_keys(_hash_rows(norm_A), keys_B,
+        rows_A = _semi_join_rows(_hash_rows(norm_A), rows_B,
                                  ["text_hash", "text_hash2"], cfg) \
             .materialize()
         if rows_A.count() == 0:
@@ -734,8 +756,7 @@ def incremental_update(prior_root: str | list[str], new_docs,
 
     def _lsh_inc(key_rows_fn, key_cols, carry, pair_filter):
         rows_B = key_rows_fn(sigs_B, cfg)
-        keys_B = rows_B.groupby(key_cols).count().select_columns(key_cols)
-        rows_A = _semi_join_keys(key_rows_fn(sigs_A, cfg), keys_B,
+        rows_A = _semi_join_rows(key_rows_fn(sigs_A, cfg), rows_B,
                                  key_cols, cfg)
         rows = _tag_new(rows_A, 0).union(_tag_new(rows_B, 1))
         return key_pairs(rows, key_cols, cfg,
@@ -775,9 +796,8 @@ def incremental_update(prior_root: str | list[str], new_docs,
 
         rows_B = (ck.stage("winnow_rows", _win_B, empty_schema=win_schema)
                   if ck is not None else _win_B().materialize())
-        keys_B = rows_B.groupby("fp").count().select_columns(["fp"])
-        rows_A = _semi_join_keys(
-            rows_A_all.select_columns(["fp", "doc_id", "pos"]), keys_B,
+        rows_A = _semi_join_rows(
+            rows_A_all.select_columns(["fp", "doc_id", "pos"]), rows_B,
             ["fp"], cfg)
         rows = _tag_new(rows_A, 0).union(
             _tag_new(rows_B.select_columns(["fp", "doc_id", "pos"]), 1))
