@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_ngrams_hll": webtext.distinct_ngrams_hll,
         "repetition_scores": webtext.repetition_scores,
         "quality_filter": webtext.quality_filter,
+        "host_stats": webtext.host_stats,
+        "host_block_filter": webtext.host_block_filter,
         # rows-only: the crawl table is its own deterministic fixture (the
         # F1 pages table is not one of the driver's registered views); the
         # byte_identical proof column must be all-true — asserted hard in
@@ -660,6 +662,29 @@ def oracle_sql() -> dict[str, str]:
                   FROM tot)
             SELECT doc_id, score, rnk FROM r WHERE rnk <= 10
             ORDER BY rnk""",
+        "host_stats": """
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                     source || '.example.' ||
+                     CASE doc_id % 3 WHEN 0 THEN 'com'
+                                     WHEN 1 THEN 'org'
+                                     ELSE 'net' END AS host
+              FROM documents)
+            SELECT host, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS n_chars
+            FROM u GROUP BY host ORDER BY host""",
+        "host_block_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                     source || '.example.' ||
+                     CASE doc_id % 3 WHEN 0 THEN 'com'
+                                     WHEN 1 THEN 'org'
+                                     ELSE 'net' END AS host
+              FROM documents)
+            SELECT doc_id, host FROM u
+            WHERE host NOT IN ('src3.example.com', 'src7.example.net',
+                               'src12.example.org')
+            ORDER BY doc_id""",
         "top_ngrams": """
             WITH toks AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS w,

@@ -286,6 +286,109 @@ def url_collapse(sf_dir: str):
     return dedup_by_url(docs.map_batches(_mk_url, batch_format="pyarrow")) \
         .sort("canon_url")
 
+
+def url_host(url: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Host component of each URL: the canonical form truncated at the
+    first path separator. Ports/userinfo pass through verbatim (crawl
+    URLs in the input_hint shape carry neither); registered-domain
+    reduction (public-suffix policy) is a caller-side mapping over the
+    distinct host set, which is tiny relative to the corpus."""
+    return pc.replace_substring_regex(canonical_url(url), r"/.*$", "")
+
+
+def host_aggregate(pages, char_col: str = "n_chars"):
+    """Per-host corpus stats — the host-level quality/volume view every
+    web pipeline builds before per-document filtering (host blocklists,
+    per-domain caps, Gopher's "fraction of docs from top hosts").
+
+    Input: Dataset with (url, ``char_col``). Output: (host, n_docs,
+    n_chars). Each batch collapses to ≤ |hosts-in-batch| partial rows via
+    a batch-local Arrow group_by BEFORE the shuffle, so the exchange is
+    O(batches × hosts), never O(docs) — hosts number ~10^8 while docs
+    number ~10^12, and partials absorb the skew of megasites."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"host": url_host(t["url"]),
+                      "nd": pa.array(np.ones(len(t), np.int64)),
+                      "nc": pc.cast(pc.fill_null(_as_array(t[char_col]), 0),
+                                    pa.int64())})
+        return g.group_by("host").aggregate([("nd", "sum"), ("nc", "sum")])
+
+    return (pages.map_batches(_partial, batch_format="pyarrow")
+            .groupby("host")
+            .aggregate(Sum("nd_sum", alias_name="n_docs"),
+                       Sum("nc_sum", alias_name="n_chars")))
+
+
+def filter_blocked_hosts(pages, blocked_hosts):
+    """Drop every page whose host is on the blocklist (UT1-style domain
+    filtering). The blocklist rides the task closure as one Arrow value
+    set — a streaming ``is_in`` membership pass, zero shuffle; at 10^6+
+    entries broadcast it once via ``ray.put`` like decontaminate's
+    eval-gram set."""
+    blocked = pa.array(sorted(set(blocked_hosts)), pa.string())
+
+    def _keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(url_host(t["url"]),
+                                           value_set=blocked)))
+
+    return pages.map_batches(_keep, batch_format="pyarrow")
+
+
+_HOST_SCHEMES = np.array(["https://", "http://www.", "HTTPS://WWW.",
+                          "http://"])
+_HOST_TLDS = np.array(["com", "org", "net"])
+BLOCKED_HOSTS_FIXTURE = ("src3.example.com", "src7.example.net",
+                         "src12.example.org")
+
+
+def _synth_host_urls(t: pa.Table) -> pa.Array:
+    """Deterministic messy crawl URLs with VARIED hosts for the documents
+    table (which carries no URL column): host = ``{source}.example.{tld}``
+    with tld keyed by ``doc_id % 3``, scheme/www noise keyed by
+    ``doc_id % 4``. The DuckDB oracles rebuild the same hosts directly."""
+    ids = _as_array(t["doc_id"]).to_numpy(zero_copy_only=False)
+    page = pa.array((ids % 97).astype("U"))
+    return pc.binary_join_element_wise(
+        pa.array(_HOST_SCHEMES[ids % 4]), _as_array(t["source"]),
+        pa.scalar(".example."), pa.array(_HOST_TLDS[ids % 3]),
+        pa.scalar("/p/"), page, "")
+
+
+def host_stats(sf_dir: str):
+    """(host, n_docs, n_chars) per synthesized host, SQL-checked."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        return pa.table({"url": _synth_host_urls(t),
+                         "n_chars": t["n_chars"]})
+
+    return host_aggregate(docs.map_batches(_mk, batch_format="pyarrow")) \
+        .sort("host")
+
+
+def host_block_filter(sf_dir: str):
+    """(doc_id, host) for documents surviving the fixture blocklist,
+    SQL-checked (the oracle carries the same literal host list)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "url": _synth_host_urls(t)})
+
+    kept = filter_blocked_hosts(
+        docs.map_batches(_mk, batch_format="pyarrow"),
+        BLOCKED_HOSTS_FIXTURE)
+
+    def _out(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "host": url_host(t["url"])})
+
+    return kept.map_batches(_out, batch_format="pyarrow").sort("doc_id")
+
+
 def _token_ngrams(text: pa.Array, n: int) -> tuple[pa.Array, np.ndarray]:
     """All positional token ``n``-grams of each text, fully vectorized.
 

@@ -431,3 +431,63 @@ def test_distinct_ngrams_hll_vs_exact(ray_session):
     con.close()
     sigma = 1.04 / np.sqrt(1 << 14)
     assert abs(est - exact) / exact < 3 * sigma, (est, exact)
+
+
+def test_url_host_kernel():
+    from fuzzy_matcher_ray.pipelines.webtext import url_host
+    urls = pa.array([
+        "https://WWW.Example.COM/a/b?q=1#f",   # scheme+www+path noise
+        "http://example.com",                  # bare host
+        "https://a.b.example.org:8080/x",      # port kept verbatim
+        "ftp://files.example.net/pub/",        # any scheme strips
+        "example.com/already/bare",            # scheme-less input
+        None,                                  # null → empty string
+    ])
+    assert url_host(urls).to_pylist() == [
+        "example.com", "example.com", "a.b.example.org:8080",
+        "files.example.net", "example.com", ""]
+
+
+def test_filter_blocked_hosts_planted(ray_session):
+    from fuzzy_matcher_ray.pipelines.webtext import (filter_blocked_hosts,
+                                                     url_host)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "url": pa.array(["https://bad.example.com/x",
+                         "https://WWW.BAD.EXAMPLE.COM/y?q=1",  # same host
+                         "https://good.example.com/z",
+                         "http://also-good.org"]),
+    })
+    kept = filter_blocked_hosts(rd.from_arrow(t), ["bad.example.com"]) \
+        .to_pandas().sort_values("doc_id")
+    assert kept.doc_id.tolist() == [3, 4]
+    # every surviving host is off the blocklist
+    assert "bad.example.com" not in set(
+        url_host(pa.array(kept.url.tolist())).to_pylist())
+
+
+def test_host_aggregate_partials_vs_duckdb(ray_session):
+    import duckdb
+
+    from fuzzy_matcher_ray.pipelines.webtext import host_aggregate
+    rng = np.random.default_rng(3)
+    hosts = [f"h{i}.example.com" for i in range(7)]
+    n = 500
+    pick = rng.integers(0, len(hosts), n)
+    chars = rng.integers(1, 1000, n)
+    t = pa.table({
+        "url": pa.array([f"https://{hosts[i]}/p/{j}"
+                         for j, i in enumerate(pick)]),
+        "n_chars": pa.array(chars, pa.int64()),
+    })
+    # many small blocks so per-batch partials actually merge in the groupby
+    got = host_aggregate(rd.from_arrow(t).repartition(13)) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    want = duckdb.sql(
+        "SELECT regexp_replace(regexp_replace(url, '^https://', ''),"
+        "                      '/.*$', '') AS host,"
+        "       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars "
+        "FROM t GROUP BY host ORDER BY host").df()
+    assert got.host.tolist() == want.host.tolist()
+    assert got.n_docs.tolist() == want.n_docs.tolist()
+    assert got.n_chars.tolist() == want.n_chars.tolist()
