@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_extract_pages": webtext.extract_html_pages,
         "tfidf_top_terms": relevance.tfidf_top_terms,
         "bm25_search": relevance.bm25_search,
+        "unigram_doc_logprob": relevance.unigram_doc_logprob,
         "sample_stratified": textops.sample_stratified,
         "shuffle_epoch": textops.shuffle_epoch,
         "topk_per_source": textops.topk_per_source,
@@ -615,6 +616,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d LEFT JOIN hits USING (doc_id)
             WHERE d.doc_id >= 20 AND coalesce(hits.h, 0) < 5
             ORDER BY d.doc_id""",
+        "unigram_doc_logprob": """
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM (SELECT doc_id,
+                           unnest(string_split(lower(coalesce(text, '')),
+                                               ' ')) AS t
+                    FROM documents)
+              WHERE t <> ''),
+            cnt AS (SELECT term, count(*)::BIGINT AS c
+                    FROM toks GROUP BY term),
+            tot AS (SELECT sum(c)::DOUBLE AS n FROM cnt),
+            lp AS (SELECT term,
+                          CAST(floor(ln(c::DOUBLE / n) * 1e9 + 0.5)
+                               AS BIGINT) AS l
+                   FROM cnt, tot)
+            SELECT d.doc_id,
+                   count(lp.l)::BIGINT AS n_tokens,
+                   coalesce(sum(lp.l), 0)::BIGINT AS logprob_e9
+            FROM documents d
+            LEFT JOIN toks t ON t.doc_id = d.doc_id
+            LEFT JOIN lp ON lp.term = t.term
+            GROUP BY d.doc_id ORDER BY d.doc_id""",
         "tfidf_top_terms": """
             WITH toks AS (
               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

@@ -74,18 +74,18 @@ def _df_table(docs, min_df: int):
     return agg
 
 
-def _broadcast_vocab(df_ds):
-    """Collect the vocab-sized df table, sort by term, ship once."""
+def _broadcast_vocab(df_ds, col: str = "df"):
+    """Collect the vocab-sized count table, sort by term, ship once."""
     parts = list(df_ds.iter_batches(batch_size=1 << 20,
                                     batch_format="pyarrow"))
     if not parts:
         t = pa.table({"term": pa.array([], pa.string()),
-                      "df": pa.array([], pa.int64())})
+                      col: pa.array([], pa.int64())})
     else:
         t = pa.concat_tables(parts)
     t = t.take(pc.sort_indices(t["term"]))
     terms = t["term"].combine_chunks()
-    df = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    df = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
     return ray.put((terms, df))
 
 
@@ -225,3 +225,76 @@ def bm25_search(sf_dir: str, n_query_terms: int = 3, k: int = 10,
         "doc_id": pa.array(ids[order]),
         "score": pa.array(e9[order] / 1e9),
         "rnk": pa.array(np.arange(1, len(order) + 1, dtype=np.int64))}))
+
+
+def _tf_table(docs):
+    """Corpus (term, c) TERM frequencies (total occurrences, not document
+    frequencies) via the same per-batch-partial → small-groupby combiner
+    shape as ``_df_table``."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        v, _ = _tokens(t["text"])
+        if len(v) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        tb = pa.table({"term": v}).filter(pc.not_equal(v, ""))
+        agg = tb.group_by(["term"]).aggregate([("term", "count")])
+        return pa.table({"term": agg["term"],
+                         "c": pc.cast(agg["term_count"], pa.int64())})
+
+    return docs.map_batches(_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("c", alias_name="c"))
+
+
+def unigram_doc_logprob(sf_dir: str):
+    """(doc_id, n_tokens, logprob_e9) — each document's log-probability
+    under the corpus-fit unigram MLE language model, the CCNet/RedPajama
+    perplexity-proxy quality signal (docs of improbable tokens score low;
+    boilerplate scores high).
+
+    logprob(d) = Σ_{tokens w of d} ln(c_w / N) with c_w the corpus count of
+    ``w`` and N the corpus token total. The model is fit on the SAME corpus
+    it scores, so every token is in-vocabulary and MLE needs no smoothing
+    (a held-out variant would smooth). Per-token logs are fixed-pointed
+    (``floor(ln(c/N)·1e9 + 0.5)`` → int64) BEFORE the per-doc sum, so the
+    result is independent of float addition order and the DuckDB oracle
+    hash-matches exactly.
+
+    Scale shape: one vocab-sized ``groupby(term)`` with per-batch partial
+    counts (the only shuffle), vocabulary broadcast once via ``ray.put``,
+    then one streaming score pass. At open-web vocab sizes swap the
+    broadcast for a hash join of the logprob table onto exploded tokens
+    (the ``stages/joins.attach_columns`` switch, as in TF-IDF above).
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    tf = _tf_table(docs)
+    parts = list(tf.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    total = float(sum(
+        int(pc.sum(p["c"]).as_py() or 0) for p in parts)) or 1.0
+    ref = _broadcast_vocab(rd.from_arrow(pa.concat_tables(parts)) if parts
+                           else tf, col="c")
+
+    def _score(t: pa.Table) -> pa.Table:
+        terms, cv = ray.get(ref)
+        lw = np.floor(np.log(cv.astype(np.float64) / total) * 1e9 + 0.5) \
+            .astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = len(t)
+        ntok = np.zeros(n, dtype=np.int64)
+        lp = np.zeros(n, dtype=np.int64)
+        v, doc_of = _tokens(t["text"])
+        if len(v):
+            keep = pc.not_equal(v, "").to_numpy(zero_copy_only=False) \
+                .astype(bool)
+            vid = pc.fill_null(pc.index_in(v, value_set=terms), -1) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            keep &= vid >= 0
+            np.add.at(ntok, doc_of[keep], 1)
+            np.add.at(lp, doc_of[keep], lw[vid[keep]])
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_tokens": pa.array(ntok),
+                         "logprob_e9": pa.array(lp)})
+
+    return docs.map_batches(_score, batch_format="pyarrow").sort("doc_id")

@@ -80,3 +80,33 @@ def test_bm25_planted_ranking(ray_session, tiny_corpus):
     for _, row in out.iterrows():
         assert row.score == pytest.approx(e9(int(row.doc_id)) / 1e9,
                                           abs=1e-12)
+
+
+def test_unigram_logprob_planted_exact(ray_session, tiny_corpus):
+    from fuzzy_matcher_ray.pipelines.relevance import unigram_doc_logprob
+    sf, texts = tiny_corpus
+    out = unigram_doc_logprob(sf).to_pandas()
+    assert out.doc_id.tolist() == [0, 1, 2, 3, 4]
+    # manual model: counts over all 5 docs (null/empty contribute nothing)
+    toks = [t for s in texts if s for t in s.lower().split(" ") if t]
+    cnt = {w: toks.count(w) for w in set(toks)}
+    n = float(len(toks))
+    lw = {w: math.floor(math.log(c / n) * 1e9 + 0.5) for w, c in cnt.items()}
+    for i, s in enumerate(texts):
+        ts = [t for t in (s or "").lower().split(" ") if t]
+        assert out.n_tokens[i] == len(ts)
+        assert out.logprob_e9[i] == sum(lw[t] for t in ts)
+    # a doc of common tokens outscores one with a rare token, per token
+    mean = out.logprob_e9 / out.n_tokens.clip(lower=1)
+    assert mean[0] > mean[1]  # "cat dog cat" vs "dog fish" (fish is hapax)
+
+
+def test_unigram_logprob_empty_corpus(ray_session, tmp_path):
+    from fuzzy_matcher_ray.pipelines.relevance import unigram_doc_logprob
+    tbl = pa.table({"doc_id": pa.array([7], pa.int64()),
+                    "text": pa.array([None], pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = unigram_doc_logprob(str(tmp_path)).to_pandas()
+    assert out.doc_id.tolist() == [7]
+    assert out.n_tokens.tolist() == [0]
+    assert out.logprob_e9.tolist() == [0]
