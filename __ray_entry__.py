@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_ngrams_hll": webtext.distinct_ngrams_hll,
         "repetition_scores": webtext.repetition_scores,
         "quality_filter": webtext.quality_filter,
+        # rows-only: DuckDB has no zlib — the pytest oracle recomputes the
+        # same stdlib codec per doc (tests/test_webtext.py)
+        "compression_ratio": webtext.compression_ratio,
         "host_stats": webtext.host_stats,
         "host_block_filter": webtext.host_block_filter,
         # rows-only: the crawl table is its own deterministic fixture (the

@@ -866,3 +866,41 @@ def extract_html_pages(sf_dir: str, n_docs: int = 2000, seed: int = 7):
 
     out = extract_pages(ds.map_batches(_stash, batch_format="pyarrow"))
     return out.map_batches(_proof, batch_format="pyarrow").sort("url")
+
+
+def compression_ratio(sf_dir: str, level: int = 6):
+    """(doc_id, n_bytes, n_compressed, ratio_e6) — per-document zlib
+    compression ratio, the Dolma/RedPajama-v2 quality signal (highly
+    compressible docs are repetitive boilerplate; incompressible ones are
+    often binary junk or gibberish; natural prose sits in a mid band that
+    the caller thresholds).
+
+    ratio_e6 = floor(n_compressed / n_bytes · 1e6 + 0.5) as int64 (0 for
+    empty/null docs) — fixed-point so downstream equality checks never
+    touch float division order. One streaming map, zero shuffle; the
+    per-row ``zlib.compress`` C call is inherent to the op (one codec call
+    per payload, as with the multimodal decoders) — the surrounding
+    batch machinery stays Arrow. No SQL oracle (DuckDB has no zlib);
+    the pytest oracle recomputes with the same stdlib codec.
+    """
+    import zlib
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(_as_array(t["text"]), "").to_pylist()
+        raw = np.empty(len(texts), np.int64)
+        comp = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            b = s.encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, level)) if b else 0
+        ratio = np.zeros(len(texts), np.int64)
+        nz = raw > 0
+        ratio[nz] = np.floor(comp[nz] / raw[nz] * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "n_bytes": pa.array(raw),
+                         "n_compressed": pa.array(comp),
+                         "ratio_e6": pa.array(ratio)})
+
+    return docs.map_batches(_f, batch_format="pyarrow").sort("doc_id")

@@ -491,3 +491,29 @@ def test_host_aggregate_partials_vs_duckdb(ray_session):
     assert got.host.tolist() == want.host.tolist()
     assert got.n_docs.tolist() == want.n_docs.tolist()
     assert got.n_chars.tolist() == want.n_chars.tolist()
+
+
+def test_compression_ratio_exact_recompute(ray_session, tmp_path):
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from fuzzy_matcher_ray.pipelines.webtext import compression_ratio
+    texts = ["spam spam spam spam spam spam spam spam",
+             "j8#kQz!m3@Xv9&wL2^pR5*tY7(bN4)cD6",
+             "a perfectly ordinary english sentence about weather",
+             None, ""]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = compression_ratio(str(tmp_path)).to_pandas()
+    assert out.doc_id.tolist() == list(range(len(texts)))
+    for i, s in enumerate(texts):
+        b = (s or "").encode("utf-8")
+        assert out.n_bytes[i] == len(b)
+        comp = len(zlib.compress(b, 6)) if b else 0
+        assert out.n_compressed[i] == comp
+        want = int(np.floor(comp / len(b) * 1e6 + 0.5)) if b else 0
+        assert out.ratio_e6[i] == want
+    # repetitive boilerplate compresses better than random-ish glyphs
+    assert out.ratio_e6[0] < out.ratio_e6[2] < out.ratio_e6[1]
