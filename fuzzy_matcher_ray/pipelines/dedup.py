@@ -717,10 +717,56 @@ def incremental_update(prior_root: str | list[str], new_docs,
         rows_A = _semi_join_rows(_hash_rows(norm_A), rows_B,
                                  ["text_hash", "text_hash2"], cfg) \
             .materialize()
-        if rows_A.count() == 0:
+        n_A = rows_A.count()
+        if n_A == 0:
             # no shared 128-bit key across the corpora — a zero-block
             # dataset has no schema and would break the join below
             return intra
+        from fuzzy_matcher_ray.stages.candidates import BROADCAST_KEYS_MAX
+        if n_A <= BROADCAST_KEYS_MAX:
+            # driver fast path: rows_A is the semi-joined residue (only
+            # prior rows sharing a 128-bit key with the increment) — small
+            # by construction. Min-rep per key comes from one driver
+            # lexsort; linking B is a streaming EXACT lookup on the full
+            # (text_hash, text_hash2) pair via a structured-dtype
+            # searchsorted (the lossy 64-bit _combined_key mix is fine for
+            # membership, where a collision only admits an extra row the
+            # real-key grouping re-drops, but NOT for rep links, where it
+            # would silently fuse distinct clusters). Replaces a groupby +
+            # repartition + hash join — three fixed-cost shuffles that
+            # dwarf a small fold on one node; past the budget the shuffle
+            # path below is the multi-node shape.
+            _KEY_DT = np.dtype([("h1", "<i8"), ("h2", "<i8")])
+
+            def _keys_of(t: pa.Table) -> np.ndarray:
+                k = np.empty(len(t), dtype=_KEY_DT)
+                k["h1"] = t["text_hash"].to_numpy(zero_copy_only=False)
+                k["h2"] = t["text_hash2"].to_numpy(zero_copy_only=False)
+                return k
+
+            t_A = pa.concat_tables(
+                [b for b in rows_A.iter_batches(batch_size=1 << 20,
+                                                batch_format="pyarrow")
+                 if len(b)])
+            k_A = _keys_of(t_A)
+            ids_A = t_A["doc_id"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids_A, k_A["h2"], k_A["h1"]))
+            k_A, ids_A = k_A[order], ids_A[order]
+            first = np.concatenate(([True], k_A[1:] != k_A[:-1]))
+            rep_ref = ray.put((k_A[first], ids_A[first]))
+
+            def _link(t: pa.Table) -> pa.Table:
+                ks, reps = ray.get(rep_ref)
+                q = _keys_of(t)
+                idx = np.clip(np.searchsorted(ks, q), 0, len(ks) - 1)
+                hit = ks[idx] == q
+                return pa.table({
+                    "a": pa.array(reps[idx[hit]]),
+                    "b": pa.array(t["doc_id"].to_numpy(
+                        zero_copy_only=False)[hit])})
+
+            return intra.union(rows_B.map_batches(_link,
+                                                  batch_format="pyarrow"))
         # repartition: the hash-aggregate emits schema-less EMPTY blocks
         # for key-less partitions, which poison a downstream hash join
         # ("no match for key field on right side"); a repartition rebuilds

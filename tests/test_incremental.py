@@ -106,3 +106,31 @@ def test_incremental_update_guards(ray_session, tmp_path):
                            rd.from_arrow(_docs_tbl(5, seed=54,
                                                    id_offset=9_000_000)),
                            cfg).to_pandas()
+
+
+def test_incremental_distributed_twin(ray_session, tmp_path, monkeypatch):
+    """Force the fold's shuffle semi-join / rep-join fallbacks (the
+    multi-node shape) by zeroing the broadcast budget: labels must stay
+    byte-identical to the driver fast paths."""
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.pipelines.dedup import (find_duplicates,
+                                                   incremental_update)
+    from fuzzy_matcher_ray.stages import candidates
+    from fuzzy_matcher_ray.state.checkpoint import Checkpointer
+
+    cfg = PipelineConfig()
+    a = _docs_tbl(250, seed=61)
+    b = _docs_tbl(120, seed=62, id_offset=1_000_000)
+    root = str(tmp_path / "ck")
+    find_duplicates(rd.from_arrow(a), cfg,
+                    checkpointer=Checkpointer(root, cfg.config_hash())) \
+        .materialize()
+
+    fast = incremental_update(root, rd.from_arrow(b), cfg).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(candidates, "BROADCAST_KEYS_MAX", 0)
+    slow = incremental_update(root, rd.from_arrow(b), cfg).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(fast) == 370
+    assert fast.equals(slow)
