@@ -20,7 +20,8 @@ DOC_QUERIES = [
     "ngram_jaccard_adjacent", "span_dedup", "url_collapse", "chunk_documents",
     "redact_pii", "sample_stratified", "shuffle_epoch", "top_ngrams",
     "repetition_scores", "quality_filter", "decontaminate", "topk_per_source",
-    "dedup_jaccard_brute",
+    "dedup_jaccard_brute", "cluster_representatives", "tfidf_top_terms",
+    "bm25_search", "unigram_doc_logprob", "host_stats", "host_block_filter",
 ]
 
 
