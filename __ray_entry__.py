@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": webtext.compression_ratio,
         "host_stats": webtext.host_stats,
         "host_block_filter": webtext.host_block_filter,
+        "host_cap": webtext.host_cap,
         # rows-only: the crawl table is its own deterministic fixture (the
         # F1 pages table is not one of the driver's registered views); the
         # byte_identical proof column must be all-true — asserted hard in
@@ -699,6 +700,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT host, count(*)::BIGINT AS n_docs,
                    sum(n_chars)::BIGINT AS n_chars
             FROM u GROUP BY host ORDER BY host""",
+        "host_cap": """
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                     source || '.example.' ||
+                     CASE doc_id % 3 WHEN 0 THEN 'com'
+                                     WHEN 1 THEN 'org'
+                                     ELSE 'net' END AS host
+              FROM documents),
+            r AS (SELECT host, doc_id, n_chars,
+                         row_number() OVER (PARTITION BY host
+                                            ORDER BY n_chars DESC, doc_id)
+                             AS rn
+                  FROM u)
+            SELECT host, doc_id, n_chars FROM r WHERE rn <= 2
+            ORDER BY host, n_chars DESC, doc_id""",
         "host_block_filter": """
             WITH u AS (
               SELECT doc_id,

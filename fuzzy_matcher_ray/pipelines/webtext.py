@@ -904,3 +904,52 @@ def compression_ratio(sf_dir: str, level: int = 6):
                          "ratio_e6": pa.array(ratio)})
 
     return docs.map_batches(_f, batch_format="pyarrow").sort("doc_id")
+
+
+def cap_per_host(pages, k: int = 2, char_col: str = "n_chars"):
+    """Keep at most ``k`` pages per host, preferring the longest (min
+    doc_id ties) — domain balancing, the cap web pipelines apply so
+    megasites can't dominate the training mix.
+
+    Input: Dataset with (doc_id, url, ``char_col``). Output slim
+    (host, doc_id, n_chars) winners. Per-batch PARTIAL top-k first (each
+    batch forwards at most k rows per host it contains), then a per-group
+    merge over that k·hosts-sized residue — the page text never shuffles
+    and the full table never moves (same shape as textops.topk_per_source).
+    """
+    import pandas as pd
+
+    def _slim(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "host": url_host(t["url"]),
+            "doc_id": pc.cast(_as_array(t["doc_id"]), pa.int64()),
+            "n_chars": pc.cast(pc.fill_null(_as_array(t[char_col]), 0),
+                               pa.int64())})
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["host", "n_chars", "doc_id"],
+                            ascending=[True, False, True])
+        return df.groupby("host", sort=False).head(k)
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        return df.head(k)
+
+    partials = pages.map_batches(_slim, batch_format="pyarrow") \
+        .map_batches(_partial, batch_format="pandas")
+    return partials.groupby("host").map_groups(_merge, batch_format="pandas")
+
+
+def host_cap(sf_dir: str, k: int = 2):
+    """(host, doc_id, n_chars) — the ≤``k`` longest docs per synthesized
+    host, SQL-checked (DuckDB window row_number oracle)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "url": _synth_host_urls(t),
+                         "n_chars": t["n_chars"]})
+
+    return cap_per_host(docs.map_batches(_mk, batch_format="pyarrow"), k) \
+        .sort(["host", "n_chars", "doc_id"], descending=[False, True, False])

@@ -517,3 +517,23 @@ def test_compression_ratio_exact_recompute(ray_session, tmp_path):
         assert out.ratio_e6[i] == want
     # repetitive boilerplate compresses better than random-ish glyphs
     assert out.ratio_e6[0] < out.ratio_e6[2] < out.ratio_e6[1]
+
+
+def test_cap_per_host_planted(ray_session):
+    from fuzzy_matcher_ray.pipelines.webtext import cap_per_host
+    # host A: 4 docs (lengths 10,30,30,20) — keep 30@min-id and 30
+    # host B: 1 doc — kept; host C: 2 equal-length docs — both kept, id order
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "url": pa.array(["https://a.com/1", "https://a.com/2",
+                         "https://WWW.A.COM/3", "https://a.com/4",
+                         "https://b.com/1", "https://c.com/1",
+                         "https://c.com/2"]),
+        "n_chars": pa.array([10, 30, 30, 20, 7, 5, 5], pa.int64()),
+    })
+    # many tiny blocks so the per-batch partial + per-group merge both run
+    out = cap_per_host(rd.from_arrow(t).repartition(5), k=2).to_pandas() \
+        .sort_values(["host", "doc_id"]).reset_index(drop=True)
+    got = list(map(tuple, out[["host", "doc_id", "n_chars"]].to_numpy()))
+    assert got == [("a.com", 2, 30), ("a.com", 3, 30), ("b.com", 5, 7),
+                   ("c.com", 6, 5), ("c.com", 7, 5)]
