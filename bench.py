@@ -189,6 +189,19 @@ def run_bench() -> dict:
     webtext.distinct_ngrams_hll(SF_DIR).count()
     queries["distinct_ngrams_hll"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    webtext.compression_ratio(SF_DIR).count()
+    queries["compression_ratio"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    webtext.host_cap(SF_DIR).count()
+    queries["host_cap"] = round(time.perf_counter() - t0, 3)
+
+    from fuzzy_matcher_ray.pipelines.relevance import unigram_doc_logprob
+    t0 = time.perf_counter()
+    unigram_doc_logprob(SF_DIR).count()
+    queries["unigram_doc_logprob"] = round(time.perf_counter() - t0, 3)
+
     # incremental fold: +10% increment against the headline corpus's
     # checkpointed artifacts, vs re-running the full pipeline over the
     # concatenation — the InsertEntries value proposition, measured.
