@@ -60,8 +60,14 @@ def exact_dup_edges(norm, cfg: PipelineConfig):
     if rows.count() <= DRIVER_EXPLODE_MAX_ROWS:
         # driver fast path: one collect, numpy segment min-rep star edges
         import ray.data as rd
-        t = pa.concat_tables(list(rows.iter_batches(batch_size=1 << 20,
-                                                    batch_format="pyarrow")))
+        parts = list(rows.iter_batches(batch_size=1 << 20,
+                                       batch_format="pyarrow"))
+        if not parts:
+            # an all-skip-tier corpus yields ZERO batches — concat_tables
+            # requires at least one
+            return rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                           "b": pa.array([], pa.int64())}))
+        t = pa.concat_tables(parts)
         h1 = t["text_hash"].to_numpy(zero_copy_only=False)
         h2 = t["text_hash2"].to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)

@@ -134,3 +134,38 @@ def test_incremental_distributed_twin(ray_session, tmp_path, monkeypatch):
         .sort_values("doc_id").reset_index(drop=True)
     assert len(fast) == 370
     assert fast.equals(slow)
+
+
+def test_incremental_all_skip_tier_increment(ray_session, tmp_path):
+    """An increment of only empty/whitespace docs (TIER_SKIP) must fold
+    cleanly: no pass produces keys, every new doc becomes a singleton."""
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.pipelines.dedup import (find_duplicates,
+                                                   incremental_update)
+    from fuzzy_matcher_ray.state.checkpoint import Checkpointer
+
+    cfg = PipelineConfig()
+    a = _docs_tbl(150, seed=71)
+    root = str(tmp_path / "ck")
+    find_duplicates(rd.from_arrow(a), cfg,
+                    checkpointer=Checkpointer(root, cfg.config_hash())) \
+        .materialize()
+
+    b = pa.table({
+        "doc_id": pa.array(range(1_000_000, 1_000_008), pa.int64()),
+        "url": pa.array([f"https://x.org/{i}" for i in range(8)]),
+        "text": pa.array(["", " ", None, "", "  ", None, "", " "],
+                         pa.string()),
+        "lang": pa.array(["en"] * 8)})
+    out = incremental_update(root, rd.from_arrow(b), cfg).to_pandas()
+    assert len(out) == 158
+    new = out[out.doc_id >= 1_000_000]
+    # every skip-tier doc is its own singleton cluster
+    assert (new.cluster_id == new.doc_id).all()
+
+    # the same corpus straight through find_duplicates (the monolithic
+    # path shares the exact-pass collect that used to crash on zero rows)
+    solo = find_duplicates(rd.from_arrow(b), cfg).to_pandas()
+    assert len(solo) == 8
+    assert (solo.cluster_id == solo.doc_id).all()
