@@ -112,3 +112,44 @@ def test_budget_pairs_driver_invariants(raw, budget):
         deg[y] += 1
     if budget >= max(deg.values()):
         assert kept_set == set(pairs)
+
+
+URLISH = st.text(alphabet="abcz09./:?#-_", min_size=0, max_size=40)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(URLISH, min_size=1, max_size=10))
+def test_url_host_idempotent_and_pathfree(urls):
+    from fuzzy_matcher_ray.pipelines.webtext import canonical_url, url_host
+    arr = pa.array(urls, pa.string())
+    hosts = url_host(arr)
+    # a host is its own host (idempotence through the full kernel chain)
+    assert url_host(hosts).to_pylist() == hosts.to_pylist()
+    for h in hosts.to_pylist():
+        assert "/" not in h                      # no path survives
+        assert not h.startswith("www.")          # www. stripped
+        assert h == h.lower()
+    # the host is always a prefix of the canonical URL
+    for h, c in zip(hosts.to_pylist(), canonical_url(arr).to_pylist()):
+        assert c.startswith(h)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 1000)),
+                min_size=1, max_size=60),
+       st.integers(1, 4))
+def test_unigram_fixed_point_is_order_free(pairs, k):
+    # fixed-point per-token logs sum identically under any permutation —
+    # the exact property the oracle hash relies on
+    import math
+    rng = np.random.default_rng(0)
+    counts = np.array([p[1] + 1 for p in pairs], np.int64)
+    total = float(counts.sum())
+    lw = np.floor(np.log(counts / total) * 1e9 + 0.5).astype(np.int64)
+    seq = np.array([p[0] % len(pairs) for p in pairs])
+    a = lw[seq].sum()
+    b = lw[seq[rng.permutation(len(seq))]].sum()
+    assert a == b
+    # and matches the scalar-math recompute per element
+    for i in range(len(counts)):
+        assert lw[i] == math.floor(math.log(counts[i] / total) * 1e9 + 0.5)
