@@ -160,12 +160,20 @@ def bm25_search(sf_dir: str, n_query_terms: int = 3, k: int = 10,
     broadcast; the score pass is one streaming map with per-batch partial
     top-k (exact under the final total order), merged on the tiny residue.
     """
+    empty_out = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64()),
+                          "rnk": pa.array([], pa.int64())})
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     n_docs = docs.count()
+    if n_docs == 0:
+        return rd.from_arrow(empty_out)
     df_ds = _df_table(docs, 1)
-    t = pa.concat_tables(df_ds.iter_batches(batch_size=1 << 20,
-                                            batch_format="pyarrow"))
+    parts = list(df_ds.iter_batches(batch_size=1 << 20,
+                                    batch_format="pyarrow"))
+    if not parts:
+        return rd.from_arrow(empty_out)   # docs exist but carry no terms
+    t = pa.concat_tables(parts)
     dfp = t.to_pandas().sort_values(["df", "term"],
                                     ascending=[False, True])
     q = dfp.head(n_query_terms)
@@ -216,8 +224,11 @@ def bm25_search(sf_dir: str, n_query_terms: int = 3, k: int = 10,
                          "score_e9": pa.array(e9[order])})
 
     partials = docs.map_batches(_score, batch_format="pyarrow")
-    merged = pa.concat_tables(partials.iter_batches(batch_size=1 << 20,
-                                                    batch_format="pyarrow"))
+    mparts = list(partials.iter_batches(batch_size=1 << 20,
+                                        batch_format="pyarrow"))
+    if not mparts:
+        return rd.from_arrow(empty_out)
+    merged = pa.concat_tables(mparts)
     ids = merged["doc_id"].to_numpy(zero_copy_only=False)
     e9 = merged["score_e9"].to_numpy(zero_copy_only=False)
     order = np.lexsort((ids, -e9))[:k]

@@ -110,3 +110,21 @@ def test_unigram_logprob_empty_corpus(ray_session, tmp_path):
     assert out.doc_id.tolist() == [7]
     assert out.n_tokens.tolist() == [0]
     assert out.logprob_e9.tolist() == [0]
+
+
+def test_relevance_ops_empty_and_termless_corpus(ray_session, tmp_path):
+    """Zero-row and all-null corpora flow through every relevance op
+    without crashing (the zero-batch collect class of bug)."""
+    from fuzzy_matcher_ray.pipelines.relevance import (bm25_search,
+                                                       tfidf_top_terms,
+                                                       unigram_doc_logprob)
+    for case, texts in (("empty", []), ("termless", [None, None])):
+        d = tmp_path / case
+        d.mkdir()
+        tbl = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())})
+        pq.write_table(tbl, str(d / "documents.parquet"))
+        assert bm25_search(str(d)).count() == 0
+        assert tfidf_top_terms(str(d)).count() == 0
+        assert unigram_doc_logprob(str(d)).count() == len(texts)
