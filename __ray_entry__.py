@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- normalization / exact dedup (SQL-checked) ---
         "normalize_text": lambda d: textops.normalized_text(d).sort("doc_id"),
+        "normalize_nfc": textops.normalize_nfc,
         "exact_dedup_first": textops.exact_dedup_first,
         "exact_clusters": textops.exact_clusters,
         "cluster_representatives": textops.cluster_representatives,
@@ -295,6 +296,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "normalize_text":
             f"SELECT doc_id, {_NORM} AS norm_text FROM documents ORDER BY doc_id",
+        "normalize_nfc": """
+            WITH raw AS (
+              SELECT doc_id,
+                     substr(coalesce(text, ''), 1, 8) ||
+                     CASE WHEN doc_id % 2 = 0 THEN 'e' || chr(769)
+                          ELSE 'a' || chr(768) END AS s
+              FROM documents)
+            SELECT doc_id, nfc_normalize(s) AS nfc_text,
+                   CAST(nfc_normalize(s) <> s AS BIGINT) AS changed
+            FROM raw ORDER BY doc_id""",
         "exact_dedup_first":
             f"SELECT min(doc_id) AS doc_id FROM documents "
             f"GROUP BY {_norm_of(_COAL)} ORDER BY doc_id",

@@ -317,3 +317,39 @@ def shuffle_epoch(sf_dir: str, epoch: int = 1):
         out = [pa.table({"doc_id": pa.array([], pa.int64()),
                          "shuffle_rank": pa.array([], pa.int64())})]
     return rd.from_arrow(out).sort("doc_id")
+
+
+def normalize_nfc(sf_dir: str):
+    """(doc_id, nfc_text, changed) — Unicode NFC normalization, the
+    multilingual-pipeline canonicalization step (decomposed accent
+    sequences fold to their precomposed forms so equality/dedup keys
+    agree across crawl encoders). One streaming Arrow kernel pass
+    (``utf8_normalize``), zero shuffle.
+
+    The sf fixture is ASCII, so a deterministic DECOMPOSED suffix is
+    synthesized per row (combining acute/grave keyed by ``doc_id % 2``)
+    to make the query non-vacuous; the DuckDB oracle builds the same
+    strings with ``chr()`` and checks ``nfc_normalize`` parity exactly.
+    """
+    docs = _docs(sf_dir)
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        base = pc.utf8_slice_codeunits(
+            pc.fill_null(t["text"], ""), 0, 8)
+        # doc_id%2==0 → "e" + U+0301 (combining acute), else "a" + U+0300
+        suffix = np.where(ids % 2 == 0, "e\u0301", "a\u0300")
+        raw = pc.binary_join_element_wise(base, pa.array(suffix), "")
+        # pyarrow 16.1.0's utf8_normalize(form="NFC") performs NO canonical
+        # composition (e + U+0301 comes back decomposed) — the Arrow kernel
+        # cannot be trusted here (same vendor-kernel caveat as pc.coalesce
+        # in stages/cluster.py). CPython's UCD does it right; a per-row C
+        # call, as with the codec ops.
+        import unicodedata
+        nfc = pa.array([unicodedata.normalize("NFC", s)
+                        for s in raw.to_pylist()], pa.string())
+        changed = pc.cast(pc.not_equal(nfc, raw), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "nfc_text": nfc,
+                         "changed": changed})
+
+    return docs.map_batches(_f, batch_format="pyarrow").sort("doc_id")

@@ -537,3 +537,26 @@ def test_cap_per_host_planted(ray_session):
     got = list(map(tuple, out[["host", "doc_id", "n_chars"]].to_numpy()))
     assert got == [("a.com", 2, 30), ("a.com", 3, 30), ("b.com", 5, 7),
                    ("c.com", 6, 5), ("c.com", 7, 5)]
+
+
+def test_normalize_nfc_composes(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import unicodedata
+
+    from fuzzy_matcher_ray.pipelines.textops import normalize_nfc
+    texts = ["hello", None, ""]
+    tbl = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = normalize_nfc(str(tmp_path)).to_pandas()
+    # every synthesized decomposed suffix composed: changed == 1 everywhere
+    assert out.changed.tolist() == [1, 1, 1]
+    for s in out.nfc_text:
+        assert unicodedata.is_normalized("NFC", s)
+        assert s[-1] in ("é", "à")   # precomposed é / à
+    # regression guard for the vendored kernel: if pyarrow's utf8_normalize
+    # ever starts composing, the unicodedata path can be retired
+    import pyarrow.compute as pc
+    broken = pc.utf8_normalize(pa.array(["é"]),
+                               form="NFC").to_pylist()[0]
+    assert broken in ("é", "é")
