@@ -146,6 +146,49 @@ def cmd_url_dedup(args) -> dict:
             "output": args.output}
 
 
+def _query_registry():
+    """The ``queries()`` mapping from the repo-root ``__ray_entry__.py`` —
+    the driver-contract file IS the registry (one source of truth: every
+    operator exposed there is runnable as a ray job). Located relative to
+    the package (repo layout); clear error when absent."""
+    import importlib.util
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "__ray_entry__.py")
+    if not os.path.isfile(path):
+        raise SystemExit(f"query registry not found at {path} "
+                         "(run from the repo layout)")
+    spec = importlib.util.spec_from_file_location("_fmr_entry", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.queries()
+
+
+def cmd_query(args) -> dict:
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.state.checkpoint import write_atomic
+
+    reg = _query_registry()
+    if args.list:
+        return {"job": "query", "available": sorted(reg)}
+    if args.name not in reg:
+        raise SystemExit(f"unknown query {args.name!r}; run with --list")
+    t0 = time.perf_counter()
+    res = reg[args.name](args.sf_dir)
+    if isinstance(res, pd.DataFrame):
+        res = rd.from_pandas(res)
+    elif isinstance(res, pa.Table):
+        res = rd.from_arrow(res)
+    write_atomic(res, args.output)
+    wall = time.perf_counter() - t0
+    n = _rows_written(args.output)
+    return {"job": f"query:{args.name}", "rows": n, "sec": round(wall, 3),
+            "output": args.output}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="python -m fuzzy_matcher_ray")
     p.add_argument("--num-cpus", type=int, default=None,
@@ -188,7 +231,25 @@ def main(argv=None) -> int:
     u.add_argument("--source", default="webpages")
     u.set_defaults(fn=cmd_url_dedup)
 
+    q = sub.add_parser(
+        "query",
+        help="run any registered operator query over an sf-style table dir")
+    q.add_argument("--name", default=None,
+                   help="query name (see --list)")
+    q.add_argument("--sf-dir", default=None,
+                   help="directory holding the parquet tables")
+    q.add_argument("--output", default=None)
+    q.add_argument("--list", action="store_true",
+                   help="print available query names and exit")
+    q.set_defaults(fn=cmd_query)
+
     args = p.parse_args(argv)
+    if getattr(args, "fn", None) is cmd_query and not args.list:
+        missing = [f for f in ("name", "sf_dir", "output")
+                   if not getattr(args, f)]
+        if missing:
+            raise SystemExit(
+                f"query: missing {', '.join('--' + m.replace('_', '-') for m in missing)}")
     _init_ray(args.num_cpus)
     try:
         print(json.dumps(args.fn(args)))

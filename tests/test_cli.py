@@ -55,3 +55,29 @@ def test_cli_rejects_unknown_pass(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert proc.returncode != 0
     assert "minash" in proc.stderr
+
+
+def test_cli_query_list_and_run(tmp_path):
+    m = _run_cli("query", "--list")
+    names = m["available"]
+    assert "host_stats" in names and "dedup_full" in names
+    assert len(names) >= 60
+
+    out = str(tmp_path / "qout")
+    m2 = _run_cli("query", "--name", "host_stats",
+                  "--sf-dir", SF, "--output", out)
+    assert m2["job"] == "query:host_stats" and m2["rows"] > 0
+    import duckdb
+    n = duckdb.sql(f"select count(*) from '{out}/**/*.parquet'").fetchone()[0]
+    assert n == m2["rows"]
+
+
+def test_cli_query_unknown_name(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, "-m", "fuzzy_matcher_ray", "--num-cpus", "2",
+         "query", "--name", "nope", "--sf-dir", SF,
+         "--output", str(tmp_path / "o")],
+        capture_output=True, text=True, timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode != 0
+    assert "unknown query" in proc.stderr
