@@ -598,7 +598,13 @@ def incremental_update(prior_root: str | list[str], new_docs,
     ⇒ same min-id labels) — asserted by tests/test_incremental.py.
 
     Returns (doc_id, cluster_id) for every doc in prior ∪ new. Requires
-    disjoint doc_id spaces (checked) and the same ``cfg`` as the prior run;
+    disjoint doc_id spaces (checked) and the same ``cfg`` AND pass set as
+    the prior run for full-rerun byte-parity. Folding a WIDER pass set
+    over a narrower prior root still works (missing artifacts re-derive
+    from the normalize artifact) but is deliberately weaker: only pairs
+    touching a new doc are verified, so prior-internal edges stay per the
+    prior run's own pass set — asserted in
+    tests/test_incremental.py::test_incremental_resigns_pre_lsh_checkpoint;
     ``verify_budget_per_doc`` is rejected (its per-doc ranking depends on
     the global candidate set, which an increment by design does not see).
 

@@ -169,3 +169,57 @@ def test_incremental_all_skip_tier_increment(ray_session, tmp_path):
     solo = find_duplicates(rd.from_arrow(b), cfg).to_pandas()
     assert len(solo) == 8
     assert (solo.cluster_id == solo.doc_id).all()
+
+
+def test_incremental_resigns_pre_lsh_checkpoint(ray_session, tmp_path):
+    """A prior root checkpointed with ONLY the exact pass (no signatures /
+    winnow_rows artifacts) still folds: missing artifacts re-derive from
+    the normalize artifact. Folding with the SAME pass set is
+    byte-identical to the exact-only full rerun; folding with MORE passes
+    is well-defined but weaker (A-A edges stay per the prior run's pass
+    set — only pairs touching a new doc are verified), so the test
+    asserts the documented guarantees: prior co-clusters preserved and
+    cross-corpus candidates found."""
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.pipelines.dedup import (find_duplicates,
+                                                   incremental_update)
+    from fuzzy_matcher_ray.state.checkpoint import Checkpointer
+
+    cfg = PipelineConfig()
+    a = _docs_tbl(200, seed=81)
+    b = _docs_tbl(100, seed=82, id_offset=1_000_000)
+    root = str(tmp_path / "ck")
+    find_duplicates(rd.from_arrow(a), cfg,
+                    checkpointer=Checkpointer(root, cfg.config_hash()),
+                    passes=("exact",)).materialize()
+    assert not os.path.isdir(os.path.join(root, "signatures"))
+
+    # same pass set: byte-identical to the exact-only full rerun
+    fold_e = incremental_update(root, rd.from_arrow(b), cfg,
+                                passes=("exact",)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    full_e = find_duplicates(
+        rd.from_arrow(pa.concat_tables([a, b])), cfg,
+        passes=("exact",)).to_pandas()[
+        ["doc_id", "cluster_id"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert len(fold_e) == 300
+    assert fold_e[["doc_id", "cluster_id"]].equals(full_e)
+
+    # wider pass set: the re-sign fallback runs (no artifacts to load),
+    # prior exact co-clusters survive, and cross-corpus LSH candidates
+    # are generated (some new doc merges with a prior doc)
+    fold_w = incremental_update(root, rd.from_arrow(b), cfg).to_pandas()
+    assert len(fold_w) == 300
+    lab = dict(zip(fold_w.doc_id, fold_w.cluster_id))
+    le = dict(zip(fold_e.doc_id, fold_e.cluster_id))
+    prior_pairs = [(i, j) for i in range(200) for j in range(i + 1, 200)
+                   if le[i] == le[j]]
+    assert prior_pairs and all(lab[i] == lab[j] for i, j in prior_pairs)
+    # the wider passes find the increment's planted NEAR-dups (LSH/
+    # substring merges the exact-only fold cannot see)
+    new_ids = range(1_000_000, 1_000_100)
+    n_clusters_e = len({le[d] for d in new_ids})
+    n_clusters_w = len({lab[d] for d in new_ids})
+    assert n_clusters_w < n_clusters_e, (n_clusters_w, n_clusters_e)
