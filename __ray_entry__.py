@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_nfc": textops.normalize_nfc,
         "exact_dedup_first": textops.exact_dedup_first,
         "exact_clusters": textops.exact_clusters,
+        "cluster_size_histogram": textops.cluster_size_histogram,
         "cluster_representatives": textops.cluster_representatives,
         # --- text analysis (SQL-checked) ---
         "token_counts": lambda d: textops.token_counts(d).sort("doc_id"),
@@ -313,6 +314,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, min(doc_id) OVER "
             f"(PARTITION BY {_norm_of(_COAL)}) AS cluster_id "
             "FROM documents ORDER BY doc_id",
+        "cluster_size_histogram": f"""
+            WITH labels AS (
+              SELECT doc_id, min(doc_id) OVER
+                     (PARTITION BY {_norm_of(_COAL)}) AS cluster_id
+              FROM documents),
+            sizes AS (SELECT cluster_id, count(*)::BIGINT AS size
+                      FROM labels GROUP BY cluster_id)
+            SELECT size, count(*)::BIGINT AS n_clusters
+            FROM sizes GROUP BY size ORDER BY size""",
         "cluster_representatives": f"""
             WITH labeled AS (
                 SELECT doc_id,

@@ -353,3 +353,20 @@ def normalize_nfc(sf_dir: str):
                          "changed": changed})
 
     return docs.map_batches(_f, batch_format="pyarrow").sort("doc_id")
+
+
+def cluster_size_histogram(sf_dir: str):
+    """(size, n_clusters) — the exact-dup cluster-size distribution, the
+    dedup-health report every corpus run ships with (a fat tail of giant
+    clusters means boilerplate leakage; all-singletons means the corpus
+    was already deduped). Two nested aggregations over slim rows: cluster
+    sizes from one groupby over (doc_id, cluster_id) labels, then the
+    size histogram from a second groupby over the cluster-sized result —
+    each exchange is no larger than its input's distinct-key count."""
+    from ray.data.aggregate import Count
+    labels = exact_clusters(sf_dir)
+    sizes = labels.groupby("cluster_id").aggregate(
+        Count("doc_id", alias_name="size"))
+    hist = sizes.groupby("size").aggregate(
+        Count("cluster_id", alias_name="n_clusters"))
+    return hist.sort("size")

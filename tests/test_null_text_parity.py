@@ -22,7 +22,7 @@ DOC_QUERIES = [
     "repetition_scores", "quality_filter", "decontaminate", "topk_per_source",
     "dedup_jaccard_brute", "cluster_representatives", "tfidf_top_terms",
     "bm25_search", "unigram_doc_logprob", "host_stats", "host_block_filter",
-    "normalize_nfc", "host_cap",
+    "normalize_nfc", "host_cap", "cluster_size_histogram",
 ]
 
 
