@@ -239,26 +239,19 @@ def sample_stratified(sf_dir: str, en_keep: int = 3, other_keep: int = 1,
 def topk_per_source(sf_dir: str, k: int = 3):
     """(source, doc_id, n_chars) — the k longest docs per source
     (window-function shape). Per-batch PARTIAL top-k first (each batch
-    forwards at most k rows per source), then a tiny per-group merge —
-    the full table never shuffles.
+    forwards at most k rows per source), then a fully vectorized merge
+    over that k·sources residue (sort + metadata-prefix-sum position
+    stamp + min-position-per-group, ``stages/ranks.grouped_topk``) — the
+    full table never shuffles and no per-group Python runs anywhere.
     """
-    import pandas as pd
+    from fuzzy_matcher_ray.stages.ranks import grouped_topk
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["source", "doc_id", "n_chars"])
-
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["source", "n_chars", "doc_id"],
-                            ascending=[True, False, True])
-        return df.groupby("source", sort=False).head(k)
-
-    partials = ds.map_batches(_partial, batch_format="pandas")
-
-    def _merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
-        return df.head(k)
-
-    out = partials.groupby("source").map_groups(_merge, batch_format="pandas")
+    out = grouped_topk(ds, "source", "n_chars", "doc_id", k,
+                       empty_schema=pa.schema([
+                           ("source", pa.string()), ("doc_id", pa.int64()),
+                           ("n_chars", pa.int64())]))
     return out.sort(["source", "n_chars", "doc_id"],
                     descending=[False, True, False])
 
@@ -276,13 +269,22 @@ def fingerprint_counts(sf_dir: str, cfg: PipelineConfig | None = None):
     return _docs(sf_dir).map_batches(_f, batch_format="pyarrow").sort("doc_id")
 
 
-def shuffle_epoch(sf_dir: str, epoch: int = 1):
+def shuffle_epoch(sf_dir: str, epoch: int = 1, stamp_mode: str = "distributed"):
     """(doc_id, shuffle_rank) — deterministic epoch shuffle order for
     training: rank = position of doc_id under the Knuth multiplicative
     hash salted by ``epoch``. A distributed range ``sort`` on the hash
     (the standard epoch-shuffling pattern: different epoch → different
     but reproducible permutation; no RNG state, resumable mid-epoch).
-    SQL-checked via row_number over the same non-wrapping arithmetic."""
+    SQL-checked via row_number over the same non-wrapping arithmetic.
+
+    The global rank is stamped DISTRIBUTED: the range sort leaves blocks
+    in key order, so rank = block-offset prefix sum + in-block position;
+    the offsets come from block METADATA row counts and every block stamps
+    itself in its own Ray task (``stages/ranks.stamp_global_positions``) —
+    no whole-dataset driver materialization at any corpus size.
+    ``stamp_mode="driver"`` is the test-only parity oracle."""
+    from fuzzy_matcher_ray.stages.ranks import stamp_global_positions
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     if ds.limit(1).count() == 0:
         # empty input: the lazy sort keys would not resolve on a
@@ -298,25 +300,9 @@ def shuffle_epoch(sf_dir: str, epoch: int = 1):
         return pa.table({"doc_id": t["doc_id"], "h": pa.array(h)})
 
     keyed = ds.map_batches(_key, batch_format="pyarrow").sort(["h", "doc_id"])
-
-    # stamp the global rank: the range sort leaves blocks in key order, so
-    # rank = block offset prefix-sum + position. Blocks here are slim
-    # (8 B/row doc_id), so the driver stamps them directly; at 10^12 rows
-    # the same prefix-sum runs over block METADATA row counts and each
-    # block stamps itself in a map task (offsets broadcast by block index).
-    import ray
-    tables = ray.get(list(keyed.materialize().to_arrow_refs()))
-    out, start = [], 0
-    for tb in tables:
-        out.append(pa.table({
-            "doc_id": tb["doc_id"],
-            "shuffle_rank": pa.array(np.arange(start, start + len(tb)))}))
-        start += len(tb)
-    out = [t for t in out if len(t)]
-    if not out:     # empty input: pin the schema so .sort still resolves
-        out = [pa.table({"doc_id": pa.array([], pa.int64()),
-                         "shuffle_rank": pa.array([], pa.int64())})]
-    return rd.from_arrow(out).sort("doc_id")
+    stamped = stamp_global_positions(keyed, col="shuffle_rank",
+                                     mode=stamp_mode)
+    return stamped.select_columns(["doc_id", "shuffle_rank"]).sort("doc_id")
 
 
 def normalize_nfc(sf_dir: str):

@@ -698,8 +698,10 @@ def distinct_ngrams_hll(sf_dir: str, gram_n: int = 3, p: int = 14):
 
 
 # reserved key carrying each batch's Misra–Gries subtraction offset through
-# the same groupby as the data (token grams are whitespace-joined word
-# characters — a \x00-prefixed key cannot collide with one)
+# the same groupby as the data. Tokens are arbitrary whitespace-split text,
+# so a document COULD contain a literal NUL — ``_partial`` drops any gram
+# containing "\x00" (matching no meaningful vocabulary) before sketching,
+# which makes the reserved key provably collision-free.
 _MG_DELTA_KEY = "\x00__MG_DELTA__"
 
 
@@ -733,6 +735,9 @@ def top_ngrams_sketch(sf_dir: str, gram_n: int = 2, k: int = 20,
 
     def _partial(t: pa.Table) -> pa.Table:
         g, _ = _token_ngrams(_as_array(t["text"]), gram_n)
+        # NUL-bearing grams can never be real vocabulary and would collide
+        # with the reserved delta key's namespace — drop them up front
+        g = g.filter(pc.invert(pc.match_substring(g, "\x00")))
         vc = g.value_counts()
         grams = vc.field("values")
         cnts = vc.field("counts").to_numpy(zero_copy_only=False) \
@@ -913,11 +918,14 @@ def cap_per_host(pages, k: int = 2, char_col: str = "n_chars"):
 
     Input: Dataset with (doc_id, url, ``char_col``). Output slim
     (host, doc_id, n_chars) winners. Per-batch PARTIAL top-k first (each
-    batch forwards at most k rows per host it contains), then a per-group
-    merge over that k·hosts-sized residue — the page text never shuffles
-    and the full table never moves (same shape as textops.topk_per_source).
+    batch forwards at most k rows per host it contains), then a fully
+    vectorized merge over that k·hosts-sized residue (sort +
+    metadata-prefix-sum position stamp + min-position-per-host,
+    ``stages/ranks.grouped_topk``) — the page text never shuffles, the
+    full table never moves, and no per-group Python dispatch remains
+    (same shape as textops.topk_per_source).
     """
-    import pandas as pd
+    from fuzzy_matcher_ray.stages.ranks import grouped_topk
 
     def _slim(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -926,18 +934,11 @@ def cap_per_host(pages, k: int = 2, char_col: str = "n_chars"):
             "n_chars": pc.cast(pc.fill_null(_as_array(t[char_col]), 0),
                                pa.int64())})
 
-    def _partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["host", "n_chars", "doc_id"],
-                            ascending=[True, False, True])
-        return df.groupby("host", sort=False).head(k)
-
-    def _merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
-        return df.head(k)
-
-    partials = pages.map_batches(_slim, batch_format="pyarrow") \
-        .map_batches(_partial, batch_format="pandas")
-    return partials.groupby("host").map_groups(_merge, batch_format="pandas")
+    slim = pages.map_batches(_slim, batch_format="pyarrow")
+    return grouped_topk(slim, "host", "n_chars", "doc_id", k,
+                        empty_schema=pa.schema([
+                            ("host", pa.string()), ("doc_id", pa.int64()),
+                            ("n_chars", pa.int64())]))
 
 
 def host_cap(sf_dir: str, k: int = 2):
