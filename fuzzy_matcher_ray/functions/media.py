@@ -3,8 +3,9 @@
 WAV (RIFF/PCM) and PPM (netpbm P6) are container-less — headers are plain
 structs, payloads raw samples/pixels. PNG (8-bit RGB, non-interlaced) is a
 REAL codec format decoded here with stdlib zlib + a numpy unfilter pass
-(all five scanline filters). Formats needing a true entropy/transform codec
-(JPEG/MP3/H.264) stay honestly stubbed in the multimodal stage.
+(all five scanline filters). Baseline JPEG — a true entropy/transform
+codec — lives in functions/jpeg (canonical Huffman + vectorized IDCT);
+only MP3/H.264 stay honestly stubbed in the multimodal stage.
 
 Encoders exist to synthesize deterministic test payloads; decoders are the
 product surface. Round-trip exactness is asserted in tests/test_multimodal.

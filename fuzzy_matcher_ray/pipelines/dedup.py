@@ -18,6 +18,8 @@ artifact with a manifest (resume = skip).
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -524,6 +526,11 @@ def _semi_join_keys(rows, keys_ds, key_cols, cfg: PipelineConfig):
                      aggregator_ray_remote_args=JOIN_AGG_ARGS)
 
 
+# one hash-join aggregator gang at a time across the fold's parallel
+# builder threads — see the CONCURRENCY CONTRACT in _semi_join_rows
+_FALLBACK_JOIN_LOCK = threading.Lock()
+
+
 def _semi_join_rows(rows_prior, rows_inc, key_cols, cfg: PipelineConfig):
     """Prior rows whose ``key_cols`` combo appears among the INCREMENT's
     key rows.
@@ -538,6 +545,15 @@ def _semi_join_rows(rows_prior, rows_inc, key_cols, cfg: PipelineConfig):
     at bench scale made the fold slower than a full re-run. Beyond the
     budget the groupby + hash semi-join path takes over — that is the
     multi-node shape, where the fixed cost parallelizes.
+
+    CONCURRENCY CONTRACT: the fold's four pass builders run on parallel
+    driver threads. A hash join gang-schedules its aggregator actors per
+    execution, and two-plus concurrent gangs on a small cluster starve
+    each other (measured: permanent deadlock at ``num_cpus=4`` with the
+    broadcast budget forced to 0). So the join fallback executes EAGERLY
+    here, under a module lock — one aggregator gang alive at a time; the
+    result is the pruned residue (small by construction), and everything
+    downstream of it is join-free and stays lazy + fully concurrent.
     """
     from fuzzy_matcher_ray.stages.candidates import (
         BROADCAST_KEYS_MAX, _collect_combined_keys, _membership_filter)
@@ -545,7 +561,9 @@ def _semi_join_rows(rows_prior, rows_inc, key_cols, cfg: PipelineConfig):
         arr = _collect_combined_keys(rows_inc, key_cols)
         return _membership_filter(rows_prior, key_cols, arr)
     keys_inc = rows_inc.groupby(key_cols).count().select_columns(key_cols)
-    return _semi_join_keys(rows_prior, keys_inc, key_cols, cfg)
+    with _FALLBACK_JOIN_LOCK:
+        return _semi_join_keys(rows_prior, keys_inc, key_cols,
+                               cfg).materialize()
 
 
 def _tag_new(ds, flag: int):
@@ -607,6 +625,13 @@ def incremental_update(prior_root: str | list[str], new_docs,
     tests/test_incremental.py::test_incremental_resigns_pre_lsh_checkpoint;
     ``verify_budget_per_doc`` is rejected (its per-doc ranking depends on
     the global candidate set, which an increment by design does not see).
+    Hot-group caveat: parity also assumes no key bucket exceeds
+    ``cfg.max_band_group`` — above the cap ``key_pairs`` emits star+chain
+    topology whose center shifts when increment ids interleave a prior
+    bucket, so near-threshold pairs inside such a bucket can verify
+    differently than a full rerun would. Raise ``max_band_group`` (as the
+    exact/brute paths do) if byte-parity matters on corpora with
+    boilerplate-heavy hot buckets.
 
     ``prior_root`` may be a LIST of shard roots (a fold chain, oldest
     first): per-shard normalize/signatures/winnow_rows artifacts union into
@@ -692,20 +717,47 @@ def incremental_update(prior_root: str | list[str], new_docs,
         n = int((ks[idx] == ids).sum()) if len(ks) else 0
         return pa.table({"n": pa.array([n], pa.int64())})
 
-    n_overlap = sum(
-        t["n"].to_pylist()[0] for t in clusters_A.select_columns(["doc_id"])
-        .map_batches(_overlap, batch_format="pyarrow")
-        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    if n_overlap:
-        raise ValueError(f"incremental_update: {n_overlap} doc_ids of the "
-                         "increment already exist in the prior corpus")
+    # --- prelude barriers in PARALLEL: the overlap guard, the shared text
+    # broadcast and the increment's signatures are independent Dataset
+    # executions; run serially their fixed scheduling costs (~0.5-1 s each
+    # on one node) stack up per fold — the dominant Amdahl term of a cold
+    # dedup_sharded chain. Same driver-thread fan-in as find_duplicates.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # shared text broadcast for the verify stages (A ∪ B, slim columns)
-    norm_all = norm_A.select_columns(["doc_id", "norm_text"]).union(
-        norm_B.select_columns(["doc_id", "norm_text"])).materialize()
-    attacher = None
-    if norm_all.count() <= BROADCAST_MAX_ROWS:
-        attacher = BroadcastAttacher(norm_all, "doc_id", ["norm_text"])
+    def _overlap_guard():
+        n_overlap = sum(
+            t["n"].to_pylist()[0]
+            for t in clusters_A.select_columns(["doc_id"])
+            .map_batches(_overlap, batch_format="pyarrow")
+            .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        if n_overlap:
+            raise ValueError(
+                f"incremental_update: {n_overlap} doc_ids of the "
+                "increment already exist in the prior corpus")
+
+    def _norm_all_build():
+        # shared text broadcast for the verify stages (A ∪ B, slim columns)
+        na = norm_A.select_columns(["doc_id", "norm_text"]).union(
+            norm_B.select_columns(["doc_id", "norm_text"])).materialize()
+        att = (BroadcastAttacher(na, "doc_id", ["norm_text"])
+               if na.count() <= BROADCAST_MAX_ROWS else None)
+        return na, att
+
+    def _sigs_B_build():
+        if "minhash" not in passes and "simhash" not in passes:
+            return None
+        return (ck.stage("signatures", lambda: signature_table(norm_B, cfg),
+                         empty_schema=sig_schema)
+                if ck is not None
+                else signature_table(norm_B, cfg).materialize())
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_overlap = pool.submit(_overlap_guard)
+        f_norm_all = pool.submit(_norm_all_build)
+        f_sigs = pool.submit(_sigs_B_build)
+        norm_all, attacher = f_norm_all.result()
+        sigs_B = f_sigs.result()
+        f_overlap.result()
 
     from fuzzy_matcher_ray.stages.normalize_stage import TIER_SKIP
 
@@ -795,14 +847,8 @@ def incremental_update(prior_root: str | list[str], new_docs,
             batch_format="pyarrow")
         return intra.union(cross)
 
-    sigs_B = None
+    sigs_A = None
     if "minhash" in passes or "simhash" in passes:
-        sigs_B = (ck.stage("signatures",
-                           lambda: signature_table(norm_B, cfg),
-                           empty_schema=sig_schema)
-                  if ck is not None
-                  else signature_table(norm_B, cfg).materialize())
-        sigs_A = None
         for r, n, h in loaded:
             try:
                 s, _ = _load_stage(r, "signatures", h)
@@ -813,7 +859,10 @@ def incremental_update(prior_root: str | list[str], new_docs,
             sigs_A = s if sigs_A is None else sigs_A.union(s)
 
     def _lsh_inc(key_rows_fn, key_cols, carry, pair_filter):
-        rows_B = key_rows_fn(sigs_B, cfg)
+        # materialize the increment's key rows: _semi_join_rows consumes
+        # them twice (count gate + key collect) — lazy they would re-derive
+        # from the signature scan on each consumption
+        rows_B = key_rows_fn(sigs_B, cfg).materialize()
         rows_A = _semi_join_rows(key_rows_fn(sigs_A, cfg), rows_B,
                                  key_cols, cfg)
         rows = _tag_new(rows_A, 0).union(_tag_new(rows_B, 1))
@@ -885,10 +934,18 @@ def incremental_update(prior_root: str | list[str], new_docs,
 
     builders = {"exact": _exact_inc, "minhash": _minhash_inc,
                 "simhash": _simhash_inc, "substring": _substring_inc}
+    # the four fold passes are independent until the edge union — build on
+    # parallel driver threads so their internal barriers (semi-join counts,
+    # key collects, winnow writes) overlap instead of serializing; the lazy
+    # edge datasets then fan into ONE streaming execution at edges_all
+    wanted = [p for p in ("exact", "minhash", "simhash", "substring")
+              if p in passes]
     new_edges = None
-    for p in ("exact", "minhash", "simhash", "substring"):
-        if p in passes:
-            e = builders[p]()
+    if wanted:
+        with ThreadPoolExecutor(max_workers=len(wanted)) as pool:
+            futs = {p: pool.submit(builders[p]) for p in wanted}
+            edge_sets = [futs[p].result() for p in wanted]
+        for e in edge_sets:
             new_edges = e if new_edges is None else new_edges.union(e)
 
     if new_edges is not None:
@@ -1027,4 +1084,21 @@ def dedup_sharded(shards, state_root: str,
             _prune_clusters(prev_root)
         chain.append(sroot)
         prev_root = sroot
+    # Guard: re-running with a TRUNCATED shard list against a state_root
+    # from a longer completed run finds every fold done — but the last
+    # requested shard's clusters data was pruned when the longer run's next
+    # fold landed. Fail with intent instead of an opaque read error.
+    import json as _json
+    last_manifest = os.path.join(prev_root, "clusters", "_MANIFEST.json")
+    try:
+        with open(last_manifest) as f:
+            _m = _json.load(f)
+    except (OSError, _json.JSONDecodeError):
+        _m = {}
+    if _m.get("pruned"):
+        raise ValueError(
+            f"dedup_sharded: the final shard's clusters at {prev_root!r} "
+            "were pruned — this state_root belongs to a LONGER completed "
+            "chain than the shard list passed here. Re-run with the full "
+            "shard list, or use a fresh state_root for the shorter chain.")
     return rd.read_parquet(os.path.join(prev_root, "clusters", "data"))

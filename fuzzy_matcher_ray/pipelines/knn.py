@@ -229,7 +229,18 @@ def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, bits: int = 2,
        scores the group's matrix against ONLY the queries probing that
        bucket and emits per-(query, bucket) partial top-k.
     4. A tiny global merge reduces the per-bucket partials.
+
+    ``bits`` controls the bucket count (2^bits): the default 2 (4 buckets)
+    fits the demo-scale fixtures; at real corpus sizes raise it until
+    buckets are worker-memory-sized, or the ``groupby(bucket)`` shuffle
+    skews onto a handful of reducers (warned below).
     """
+    import logging
+    if bits <= 4:
+        logging.getLogger(__name__).warning(
+            "knn_topk_ivf: 2^%d = %d buckets is demo-scale; at real corpus "
+            "sizes raise `bits` or the bucket groupby skews onto %d reducers",
+            bits, 1 << bits, 1 << bits)
     ds = _read(sf_dir)
     q_tbl = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
     q_ids = q_tbl["vec_id"].to_numpy()
@@ -312,6 +323,42 @@ def _list_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return flat.reshape(n, len(flat) // max(1, n))
 
 
+class _SRPBucketer:
+    """SRP bucketing as a stateful actor-pool stage: the seeded hyperplane
+    tensor is built ONCE PER ACTOR (on the first batch, which fixes the
+    embedding dim) rather than per batch — the canonical state-in-
+    ``__init__``-not-``__call__`` shape. Planes stay deterministic per
+    (seed, dim), so every actor builds the identical tensor and the output
+    is independent of batch routing."""
+
+    def __init__(self, seed: int, n_tables: int, n_bits: int):
+        self.seed = seed
+        self.n_tables = n_tables
+        self.n_bits = n_bits
+        self.weights = (1 << np.arange(n_bits, dtype=np.int64))
+        self.planes: np.ndarray | None = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table({"table": pa.array([], pa.int8()),
+                             "bucket": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64())})
+        if self.planes is None or self.planes.shape[1] != m.shape[1]:
+            self.planes = np.random.default_rng(self.seed).standard_normal(
+                (self.n_tables, m.shape[1], self.n_bits))
+        mn = _normalize_rows(m)
+        tables, buckets, docs = [], [], []
+        for ti in range(self.n_tables):
+            bits = (mn @ self.planes[ti]) >= 0.0           # (n, bits) signs
+            buckets.append(bits.astype(np.int64) @ self.weights)
+            tables.append(np.full(len(ids), ti, np.int8))
+            docs.append(ids.astype(np.int64))
+        return pa.table({"table": pa.array(np.concatenate(tables)),
+                         "bucket": pa.array(np.concatenate(buckets)),
+                         "doc_id": pa.array(np.concatenate(docs))})
+
+
 def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
                             n_bits: int = 8, n_tables: int = 12,
                             seed: int = 0xE5D, _sorted: bool = True,
@@ -349,30 +396,9 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
         verify_strategy = ("broadcast"
                            if ds.count() <= _VERIFY_BROADCAST_MAX_ROWS
                            else "join")
-    weights = (1 << np.arange(n_bits, dtype=np.int64))
-
-    def _bucket_rows(t: pa.Table) -> pa.Table:
-        ids, m = _batch_matrix(t)
-        if len(ids) == 0:
-            return pa.table({"table": pa.array([], pa.int8()),
-                             "bucket": pa.array([], pa.int64()),
-                             "doc_id": pa.array([], pa.int64())})
-        mn = _normalize_rows(m)
-        # seeded constants, rebuilt per worker: identical on every task,
-        # nothing broadcast (cost: one tiny standard_normal per batch)
-        planes = np.random.default_rng(seed).standard_normal(
-            (n_tables, m.shape[1], n_bits))
-        tables, buckets, docs = [], [], []
-        for ti in range(n_tables):
-            bits = (mn @ planes[ti]) >= 0.0                # (n, bits) signs
-            buckets.append(bits.astype(np.int64) @ weights)
-            tables.append(np.full(len(ids), ti, np.int8))
-            docs.append(ids.astype(np.int64))
-        return pa.table({"table": pa.array(np.concatenate(tables)),
-                         "bucket": pa.array(np.concatenate(buckets)),
-                         "doc_id": pa.array(np.concatenate(docs))})
-
-    rows = ds.map_batches(_bucket_rows, batch_format="pyarrow")
+    rows = ds.map_batches(_SRPBucketer, batch_format="pyarrow",
+                          fn_constructor_args=(seed, n_tables, n_bits),
+                          concurrency=(1, 8))
     # the SRP recall model assumes EVERY within-bucket pair is emitted —
     # the star+chain hot-group cap would silently drop pairs with no
     # union-find downstream to restore connectivity. Skew control here is
@@ -477,13 +503,14 @@ def _verify_pairs_join(pairs, ds, threshold: float):
                            right_on=("vec_id",), left_suffix="",
                            right_suffix="_r",
                            aggregator_ray_remote_args=JOIN_AGG_ARGS)
-        if side == "a" and n_pairs < 100_000:
+        if side == "a" and n_pairs < 100 * P:
             # Ray 2.49: feeding one join's output straight into another
             # crashes when a partition receives no left shard (the
             # aggregator builds a schema-less empty table; ArrowInvalid
-            # "no match for FieldRef"). Only possible when pairs are far
-            # fewer than partitions — rebuild blocks cheaply in that
-            # small-data regime; at scale every partition is nonempty.
+            # "no match for FieldRef"). Only possible when pairs are few
+            # relative to the PARTITION COUNT (a skewed hash split of
+            # ~100·P rows can still leave a shard empty) — rebuild blocks
+            # cheaply in that regime; at scale every partition is nonempty.
             pairs = pairs.repartition(2)
 
     def _verify(t: pa.Table) -> pa.Table:

@@ -1,8 +1,10 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Decode is REAL for WAV, PPM and PNG (functions/media — pure numpy/struct,
-stdlib zlib); only entropy-codec formats the container lacks libraries for
-(JPEG/MP3/H.264) remain behind a clearly-marked stub. The Ray-side plumbing
+Decode is REAL for WAV, PPM, PNG (functions/media — pure numpy/struct,
+stdlib zlib) and baseline JPEG (functions/jpeg — marker parse, canonical
+Huffman, vectorized IDCT); only formats the container has no library for
+AND no stdlib path to (MP3/H.264) remain behind a clearly-marked stub. The
+Ray-side plumbing
 is the product surface either way: binary columns flow as Arrow ``binary``
 (never through pandas object dtype), decoders are actor-pool ``map_batches``
 classes (decoder "model" loaded once per actor in ``__init__``), batch sizes
@@ -59,11 +61,12 @@ class StubImageDecoder:
 
 class MediaDecoder:
     """Actor-pool decode stage with REAL decoders for WAV PCM, PPM (pure
-    numpy/struct) and PNG (stdlib zlib inflate + numpy unfilter —
-    functions/media.parse_png), and a clearly-marked stub path for the
-    remaining codec formats (JPEG/MP3: no entropy-codec libs in this
-    sandbox). Malformed payloads are dead-lettered (kind="error"),
-    never crash the stage.
+    numpy/struct), PNG (stdlib zlib inflate + numpy unfilter —
+    functions/media.parse_png) and baseline JPEG (functions/jpeg —
+    canonical Huffman + vectorized IDCT, no codec library). Only MP3/H.264
+    remain honestly unknown (no library, no practical stdlib decoder).
+    Malformed payloads are dead-lettered (kind="error"), never crash the
+    stage.
 
     Output per row: (doc_id, kind, n_bytes, width, height, channels,
     sample_rate, duration_ms, feature) — ``feature`` is a real computed
@@ -72,8 +75,9 @@ class MediaDecoder:
 
     def __init__(self):
         # per-actor init: dispatch table built once (≙ codec/model load)
-        from fuzzy_matcher_ray.functions import media
+        from fuzzy_matcher_ray.functions import jpeg, media
         self.media = media
+        self.jpeg = jpeg
 
     def _one(self, buf: bytes) -> tuple:
         m = self.media
@@ -90,8 +94,15 @@ class MediaDecoder:
                 p = m.parse_png(buf)
                 return ("png", p["width"], p["height"], None, None, None,
                         m.ppm_mean_luma(p["pixels"]))
-            # remaining codec formats (JPEG/MP3) would dispatch to
-            # PIL/libsndfile here — absent in this sandbox, so: honestly
+            if buf.startswith(self.jpeg.JPEG_MAGIC):
+                p = self.jpeg.parse_jpeg(buf)
+                px = p["pixels"]
+                luma = (float(px.mean()) if px.ndim == 2
+                        else m.ppm_mean_luma(px))
+                return ("jpeg", p["width"], p["height"], p["channels"],
+                        None, None, luma)
+            # remaining codec formats (MP3/H.264) would dispatch to
+            # libsndfile/ffmpeg here — absent in this sandbox, so: honestly
             # unknown, not fake-decoded
             return ("unknown", None, None, None, None, None, None)
         except (ValueError, struct.error) as e:
@@ -120,13 +131,16 @@ class MediaDecoder:
 
 def synth_media_payload(doc_id: int) -> bytes:
     """Deterministic media payload per doc id — the sandbox stand-in for a
-    real binary media column: WAV for ``id % 3 == 0``, PPM for ``1``, PNG
+    real binary media column: WAV for ``id % 4 == 0``, PPM for ``1``, PNG
     for ``2`` (filters derived from the id, so every PNG scanline-filter
-    branch gets exercised). Parameters derive from the id, so tests can
-    assert exact decode round-trips."""
-    from fuzzy_matcher_ray.functions import media
+    branch gets exercised), baseline JPEG for ``3`` (grayscale or color by
+    an id-hash bit, so both SOF0 component layouts get exercised).
+    Parameters derive from the id, so tests can assert exact decode
+    round-trips (bit-exact for the lossless formats; quantization-bounded
+    against the re-synthesized payload for JPEG)."""
+    from fuzzy_matcher_ray.functions import jpeg, media
     h = int(splitmix64(np.array([doc_id], dtype=np.uint64))[0])
-    kind = doc_id % 3
+    kind = doc_id % 4
     if kind == 0:
         rate = 8000 + (h % 4) * 4000                  # 8/12/16/20 kHz
         n = 200 + (h >> 8) % 800
@@ -140,12 +154,17 @@ def synth_media_payload(doc_id: int) -> bytes:
           % np.uint64(251)).astype(np.uint8).reshape(ht, w, 3)
     if kind == 1:
         return media.make_ppm(px)
-    return media.make_png(px, filters=[(h >> 16) % 5, (h >> 20) % 5, 4, 3])
+    if kind == 2:
+        return media.make_png(px, filters=[(h >> 16) % 5, (h >> 20) % 5, 4, 3])
+    quality = 80 + (h >> 24) % 18                     # 80..97
+    if (h >> 28) & 1:                                 # grayscale SOF0
+        return jpeg.make_jpeg(px[..., 0], quality=quality)
+    return jpeg.make_jpeg(px, quality=quality)
 
 
 def decode_media_docs(sf_dir: str):
     """Real-decode pipeline over a synthesized media column: per-doc
-    WAV/PPM/PNG payloads (deterministic from doc_id), decoded by the
+    WAV/PPM/PNG/JPEG payloads (deterministic from doc_id), decoded by the
     MediaDecoder actor pool. Output (doc_id, kind, n_bytes, width, height,
     channels, sample_rate, duration_ms, feature) sorted by doc_id."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
@@ -189,18 +208,19 @@ def decode_binary_docs(sf_dir: str):
 class ImageResizer:
     """Actor-pool resize stage: image payload → resized payload + dims.
 
-    REAL nearest-neighbor resize (functions/media.resize_nearest) for both
-    decodable image formats — PPM and PNG (re-encoded in their own format,
-    so downstream stages consume the same opaque-binary column shape they
-    were given); the remaining codec formats (JPEG) would dispatch to
-    PIL/libvips here and stay honestly unknown in this sandbox. Non-image
+    REAL nearest-neighbor resize (functions/media.resize_nearest) for all
+    three decodable image formats — PPM, PNG and baseline JPEG (re-encoded
+    in their own format, so downstream stages consume the same
+    opaque-binary column shape they were given; JPEG re-encode is lossy by
+    nature, tests bound the error by the quantization tables). Non-image
     and malformed payloads are dead-lettered (kind="error"/"skip"), never
     crash the stage.
     """
 
     def __init__(self, max_dim: int = 32):
-        from fuzzy_matcher_ray.functions import media
+        from fuzzy_matcher_ray.functions import jpeg, media
         self.media = media
+        self.jpeg = jpeg
         self.max_dim = max_dim
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -215,6 +235,9 @@ class ImageResizer:
                 kind, parse, enc = "ppm", m.parse_ppm, m.make_ppm
             elif buf.startswith(m.PNG_MAGIC):
                 kind, parse, enc = "png", m.parse_png, m.make_png
+            elif buf.startswith(self.jpeg.JPEG_MAGIC):
+                kind, parse = "jpeg", self.jpeg.parse_jpeg
+                enc = lambda px: self.jpeg.make_jpeg(px, quality=92)
             else:
                 kinds.append("skip"); ws.append(None); hs.append(None)
                 ows.append(None); ohs.append(None); outs.append(None)
@@ -222,7 +245,12 @@ class ImageResizer:
             try:
                 p = parse(buf)
                 ow, oh = m.fit_within(p["width"], p["height"], self.max_dim)
-                px = m.resize_nearest(p["pixels"], ow, oh)
+                px = p["pixels"]
+                if px.ndim == 2:                     # grayscale JPEG
+                    px = m.resize_nearest(
+                        np.repeat(px[..., None], 3, axis=-1), ow, oh)[..., 0]
+                else:
+                    px = m.resize_nearest(px, ow, oh)
                 kinds.append(kind); ws.append(p["width"]); hs.append(p["height"])
                 ows.append(ow); ohs.append(oh); outs.append(enc(px))
             except ValueError:
@@ -304,8 +332,8 @@ def _media_payload_ds(sf_dir: str):
 
 
 def resize_media_docs(sf_dir: str, max_dim: int = 32):
-    """Resize pipeline over the synthesized media column (PPM and PNG docs
-    resized for real, WAV docs dead-lettered as kind="skip"). Output
+    """Resize pipeline over the synthesized media column (PPM, PNG and
+    JPEG docs resized for real, WAV docs dead-lettered as kind="skip"). Output
     excludes the binary payload (slim typed metadata only) sorted by
     doc_id."""
     out = _media_payload_ds(sf_dir).map_batches(
@@ -317,7 +345,7 @@ def resize_media_docs(sf_dir: str, max_dim: int = 32):
 
 def frame_media_docs(sf_dir: str, win_ms: int = 25, hop_ms: int = 100):
     """Frame-sampling pipeline over the synthesized media column (WAV docs
-    fan out to per-frame rows; PPM docs contribute none). Sorted by
+    fan out to per-frame rows; image docs contribute none). Sorted by
     (doc_id, frame_idx)."""
     out = _media_payload_ds(sf_dir).map_batches(
         AudioFramer, fn_constructor_args=(win_ms, hop_ms),

@@ -74,6 +74,14 @@ def _df_table(docs, min_df: int):
     return agg
 
 
+# Vocabulary tables at or below this row count broadcast whole via ray.put
+# (one searchsorted per batch, zero shuffle); above it the hash-join path
+# takes over — the corpus (doc, term) rows join the counts on term and the
+# driver never holds the vocabulary (same size-gate shape as
+# knn._VERIFY_BROADCAST_MAX_ROWS).
+VOCAB_BROADCAST_MAX_ROWS = 2_000_000
+
+
 def _broadcast_vocab(df_ds, col: str = "df"):
     """Collect the vocab-sized count table, sort by term, ship once."""
     parts = list(df_ds.iter_batches(batch_size=1 << 20,
@@ -89,15 +97,95 @@ def _broadcast_vocab(df_ds, col: str = "df"):
     return ray.put((terms, df))
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 1):
+_EMPTY_TF_ROWS = pa.table({"doc_id": pa.array([], pa.int64()),
+                           "term": pa.array([], pa.string()),
+                           "tf": pa.array([], pa.int64())})
+
+
+def _tf_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, term, tf) rows of one batch — exact per batch because every
+    doc's tokens live in its own row (batches never split a doc)."""
+    v, doc_of = _tokens(t["text"])
+    if len(v) == 0:
+        return _EMPTY_TF_ROWS
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    tb = pa.table({"d": pa.array(doc_of), "term": v})
+    tb = tb.filter(pc.not_equal(tb["term"], ""))
+    if len(tb) == 0:
+        return _EMPTY_TF_ROWS
+    agg = tb.group_by(["d", "term"]).aggregate([("d", "count")])
+    d = agg["d"].to_numpy(zero_copy_only=False)
+    return pa.table({"doc_id": pa.array(ids[d]),
+                     "term": agg["term"],
+                     "tf": pc.cast(agg["d_count"], pa.int64())})
+
+
+def _tfidf_join(docs, n_docs: int, df_agg, k: int):
+    """TF-IDF at open-web vocabulary sizes: the (doc, term, tf) rows
+    hash-JOIN the df table on term (``attach_columns`` shuffle path — the
+    vocabulary never reaches the driver), scores are row-local, and the
+    per-doc top-k comes from ``grouped_topk`` (per-batch partial top-k +
+    vectorized residue merge). Byte-identical to the broadcast path: the
+    idf/score doubles are the same IEEE expression on the same integers,
+    and the (score desc, term asc) order is total per doc."""
+    from fuzzy_matcher_ray.stages.joins import attach_columns
+    from fuzzy_matcher_ray.stages.ranks import grouped_topk
+
+    if df_agg.count() == 0:
+        # termless corpus: a zero-row side crashes Ray 2.49's hash-join
+        # aggregator (schema-less empty partitions) — and the result is
+        # empty by definition anyway
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "term": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+            "rnk": pa.array([], pa.int64())}))
+    tf_rows = docs.map_batches(_tf_rows, batch_format="pyarrow")
+    joined = attach_columns(tf_rows, df_agg, "term", "term", {"df": "df"},
+                            how="inner", strategy="shuffle")
+
+    def _score_rows(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idf = np.log((n_docs + 1.0) / (dfv + 1.0)) + 1.0
+        score = np.floor(tf * idf * 1e6 + 0.5) / 1e6
+        return pa.table({"doc_id": t["doc_id"], "term": t["term"],
+                         "score": pa.array(score)})
+
+    scored = joined.map_batches(_score_rows, batch_format="pyarrow")
+    out = grouped_topk(scored, "doc_id", "score", "term", k,
+                       rank_col="rnk",
+                       empty_schema=pa.schema([
+                           ("doc_id", pa.int64()), ("term", pa.string()),
+                           ("score", pa.float64())]))
+    return out.sort(["doc_id", "rnk"])
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3, min_df: int = 1,
+                    vocab_strategy: str = "auto"):
     """(doc_id, term, score, rnk) — each doc's top-``k`` terms by TF-IDF,
     score = tf · (ln((N+1)/(df+1)) + 1) rounded 6dp (smoothed idf), ties by
     term asc. SQL-checked (the DuckDB oracle computes the identical
-    expression over the same unnest)."""
+    expression over the same unnest).
+
+    ``vocab_strategy``: ``"broadcast"`` ships the (term, df) table once via
+    ``ray.put`` (right while the vocabulary is orders of magnitude smaller
+    than the corpus); ``"join"`` hash-joins df onto the exploded (doc,
+    term, tf) rows so nothing vocabulary-sized ever reaches the driver
+    (the 10^9-term open-web shape); ``"auto"`` gates on the vocab row
+    count (``VOCAB_BROADCAST_MAX_ROWS``). Both paths are byte-identical
+    (tests/test_relevance.py parity test)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
     n_docs = docs.count()
-    ref = _broadcast_vocab(_df_table(docs, min_df))
+    df_agg = _df_table(docs, min_df).materialize()
+    if vocab_strategy == "auto":
+        vocab_strategy = ("broadcast"
+                          if df_agg.count() <= VOCAB_BROADCAST_MAX_ROWS
+                          else "join")
+    if vocab_strategy == "join":
+        return _tfidf_join(docs, n_docs, df_agg, k)
+    ref = _broadcast_vocab(df_agg)
 
     def _score(t: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -258,7 +346,59 @@ def _tf_table(docs):
         .groupby("term").aggregate(Sum("c", alias_name="c"))
 
 
-def unigram_doc_logprob(sf_dir: str):
+def _unigram_join(docs, tf_agg, total: float):
+    """Unigram-LM scoring, hash-join shape (see unigram_doc_logprob)."""
+    from ray.data.aggregate import Sum
+
+    from fuzzy_matcher_ray.stages.joins import attach_columns
+
+    if tf_agg.count() == 0:
+        # termless corpus: skip the join (zero-row sides crash the Ray
+        # 2.49 hash-join aggregator); every doc scores (0, 0)
+        return docs.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(np.zeros(len(t), np.int64)),
+                "logprob_e9": pa.array(np.zeros(len(t), np.int64))}),
+            batch_format="pyarrow").sort("doc_id")
+
+    def _lp(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lw = np.floor(np.log(c / total) * 1e9 + 0.5).astype(np.int64)
+        return pa.table({"term": t["term"], "lw": pa.array(lw)})
+
+    lp = tf_agg.map_batches(_lp, batch_format="pyarrow")
+    tok = docs.map_batches(_tf_rows, batch_format="pyarrow")
+    joined = attach_columns(tok, lp, "term", "term", {"lw": "lw"},
+                            how="inner", strategy="shuffle")
+
+    def _parts(t: pa.Table) -> pa.Table:
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lw = t["lw"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "nt": pa.array(tf),
+                         "lp": pa.array(tf * lw)})
+
+    sums = joined.map_batches(_parts, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("nt", alias_name="n_tokens"),
+                                     Sum("lp", alias_name="logprob_e9")) \
+        .materialize()
+    ids = docs.select_columns(["doc_id"])
+    out = attach_columns(ids, sums, "doc_id", "doc_id",
+                         {"n_tokens": "n_tokens",
+                          "logprob_e9": "logprob_e9"}, how="left")
+
+    def _fill(t: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pc.fill_null(pc.cast(t["n_tokens"], pa.int64()), z),
+            "logprob_e9": pc.fill_null(pc.cast(t["logprob_e9"], pa.int64()),
+                                       z)})
+
+    return out.map_batches(_fill, batch_format="pyarrow").sort("doc_id")
+
+
+def unigram_doc_logprob(sf_dir: str, vocab_strategy: str = "auto"):
     """(doc_id, n_tokens, logprob_e9) — each document's log-probability
     under the corpus-fit unigram MLE language model, the CCNet/RedPajama
     perplexity-proxy quality signal (docs of improbable tokens score low;
@@ -273,19 +413,32 @@ def unigram_doc_logprob(sf_dir: str):
     hash-matches exactly.
 
     Scale shape: one vocab-sized ``groupby(term)`` with per-batch partial
-    counts (the only shuffle), vocabulary broadcast once via ``ray.put``,
-    then one streaming score pass. At open-web vocab sizes swap the
-    broadcast for a hash join of the logprob table onto exploded tokens
-    (the ``stages/joins.attach_columns`` switch, as in TF-IDF above).
+    counts (the only shuffle); then either the vocabulary broadcasts once
+    via ``ray.put`` and one streaming score pass runs
+    (``vocab_strategy="broadcast"`` — right while the vocabulary is small
+    vs the corpus), or — at open-web vocab sizes — the per-term logprobs
+    hash-JOIN onto the exploded (doc, term, tf) rows and per-doc sums come
+    from one ``groupby(doc_id)`` over fixed-point ints
+    (``vocab_strategy="join"``: the driver never holds the vocabulary).
+    ``"auto"`` gates on vocab rows (``VOCAB_BROADCAST_MAX_ROWS``); the two
+    paths are byte-identical — fixed-pointing each term's log BEFORE any
+    sum makes the result independent of addition order
+    (tests/test_relevance.py parity test).
     """
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
-    tf = _tf_table(docs)
-    parts = list(tf.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    tf_agg = _tf_table(docs).materialize()
     total = float(sum(
-        int(pc.sum(p["c"]).as_py() or 0) for p in parts)) or 1.0
-    ref = _broadcast_vocab(rd.from_arrow(pa.concat_tables(parts)) if parts
-                           else tf, col="c")
+        int(pc.sum(p["c"]).as_py() or 0)
+        for p in tf_agg.iter_batches(batch_size=1 << 20,
+                                     batch_format="pyarrow"))) or 1.0
+    if vocab_strategy == "auto":
+        vocab_strategy = ("broadcast"
+                          if tf_agg.count() <= VOCAB_BROADCAST_MAX_ROWS
+                          else "join")
+    if vocab_strategy == "join":
+        return _unigram_join(docs, tf_agg, total)
+    ref = _broadcast_vocab(tf_agg, col="c")
 
     def _score(t: pa.Table) -> pa.Table:
         terms, cv = ray.get(ref)

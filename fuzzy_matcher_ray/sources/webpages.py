@@ -215,14 +215,24 @@ def make_webpages(n_docs: int, seed: int = 42,
     return pages, truth_tbl
 
 
+# Generator version: part of every cached fixture filename. BUMP THIS when
+# make_webpages/encode_html change output for the same (n_docs, seed) —
+# otherwise a stale /tmp fixture from a pre-change build is silently reused
+# (e.g. the html column's byte-identical proof would read false).
+_GEN_VERSION = 2
+
+
 def write_webpages(out_dir: str, n_docs: int, seed: int = 42) -> str:
     """Materialize the corpus as parquet; returns the pages path. Cached —
-    rewrites only if missing (deterministic, so any existing copy is valid)."""
+    rewrites only if missing (deterministic per generator version, which is
+    baked into the filename, so any existing copy is valid)."""
     import os
 
     import pyarrow.parquet as pq
-    pages_path = os.path.join(out_dir, f"pages-{n_docs}-{seed}.parquet")
-    truth_path = os.path.join(out_dir, f"truth-{n_docs}-{seed}.parquet")
+    pages_path = os.path.join(
+        out_dir, f"pages-v{_GEN_VERSION}-{n_docs}-{seed}.parquet")
+    truth_path = os.path.join(
+        out_dir, f"truth-v{_GEN_VERSION}-{n_docs}-{seed}.parquet")
     if not (os.path.exists(pages_path) and os.path.exists(truth_path)):
         os.makedirs(out_dir, exist_ok=True)
         pages, truth = make_webpages(n_docs, seed)

@@ -46,9 +46,10 @@ def test_media_decode_pipeline(ray_session):
     they were synthesized with (the brute-force oracle re-synthesizes)."""
     from fuzzy_matcher_ray.pipelines.multimodal import (
         decode_media_docs, synth_media_payload)
+    from fuzzy_matcher_ray.functions import jpeg
     df = decode_media_docs("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 500
-    assert set(df.kind) == {"wav", "ppm", "png"}
+    assert set(df.kind) == {"wav", "ppm", "png", "jpeg"}
     for _, row in df.head(60).iterrows():
         buf = synth_media_payload(int(row.doc_id))
         assert row.n_bytes == len(buf)
@@ -57,6 +58,14 @@ def test_media_decode_pipeline(ray_session):
             assert row.sample_rate == w["sample_rate"]
             assert row.duration_ms == w["duration_ms"]
             assert abs(row.feature - media.wav_rms(w["samples"])) < 1e-12
+        elif row.kind == "jpeg":
+            p = jpeg.parse_jpeg(buf)
+            assert (row.width, row.height) == (p["width"], p["height"])
+            assert row.channels == p["channels"]
+            px = p["pixels"]
+            exp = (px.mean() if px.ndim == 2
+                   else media.ppm_mean_luma(px))
+            assert abs(row.feature - exp) < 1e-12
         else:
             parse = media.parse_ppm if row.kind == "ppm" else media.parse_png
             p = parse(buf)
@@ -69,15 +78,17 @@ def test_media_decoder_dead_letters(ray_session):
 
     from fuzzy_matcher_ray.pipelines.multimodal import MediaDecoder
     t = pa.table({
-        "doc_id": pa.array([1, 2, 3], pa.int64()),
-        "payload": pa.array([b"RIFF\x00\x00", b"\xff\xd8\xff\xe0jpeg!", None],
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "payload": pa.array([b"RIFF\x00\x00", b"\xff\xd8\xff\xe0jpeg!",
+                             None, b"ID3\x03\x00mp3-frames"],
                             pa.binary())})
     out = rd.from_arrow(t).map_batches(MediaDecoder, batch_format="pyarrow",
                                        batch_size=8, concurrency=1).to_pandas()
     kinds = dict(zip(out.doc_id, out.kind))
     assert kinds[1] == "error"        # malformed RIFF dead-lettered
-    assert kinds[2] == "unknown"      # codec format honestly not decoded
+    assert kinds[2] == "error"        # truncated JPEG dead-lettered
     assert kinds[3] in ("error", "unknown")
+    assert kinds[4] == "unknown"      # MP3: honestly not decoded
 
 
 def test_resize_kernel_exact():
@@ -121,7 +132,8 @@ def test_resize_pipeline(ray_session):
 
     from fuzzy_matcher_ray.pipelines.multimodal import (
         ImageResizer, synth_media_payload)
-    ids = list(range(12))
+    from fuzzy_matcher_ray.functions import jpeg
+    ids = list(range(16))
     t = pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "payload": pa.array([synth_media_payload(i) for i in ids],
@@ -131,18 +143,28 @@ def test_resize_pipeline(ray_session):
         batch_size=8, concurrency=1).to_pandas().set_index("doc_id")
     for i in ids:
         row = out.loc[i]
-        if i % 3 == 0:                               # WAV
+        if i % 4 == 0:                               # WAV
             assert row.kind == "skip"
-        else:                                        # PPM/PNG, really resized
-            kind = "ppm" if i % 3 == 1 else "png"
-            parse = media.parse_ppm if kind == "ppm" else media.parse_png
-            assert row.kind == kind
-            p = parse(synth_media_payload(i))
-            ow, oh = media.fit_within(p["width"], p["height"], 16)
-            assert (row.out_width, row.out_height) == (ow, oh)
-            rp = parse(row.payload_out)              # re-encoded same format
-            assert (rp["width"], rp["height"]) == (ow, oh)
-            exp = media.resize_nearest(p["pixels"], ow, oh)
+            continue
+        kind = {1: "ppm", 2: "png", 3: "jpeg"}[i % 4]
+        parse = {"ppm": media.parse_ppm, "png": media.parse_png,
+                 "jpeg": jpeg.parse_jpeg}[kind]
+        assert row.kind == kind
+        p = parse(synth_media_payload(i))
+        ow, oh = media.fit_within(p["width"], p["height"], 16)
+        assert (row.out_width, row.out_height) == (ow, oh)
+        rp = parse(row.payload_out)                  # re-encoded same format
+        assert (rp["width"], rp["height"]) == (ow, oh)
+        src = p["pixels"]
+        if src.ndim == 2:                            # grayscale JPEG
+            exp = media.resize_nearest(
+                np.repeat(src[..., None], 3, axis=-1), ow, oh)[..., 0]
+        else:
+            exp = media.resize_nearest(src, ow, oh)
+        if kind == "jpeg":                           # lossy re-encode bound
+            assert np.abs(rp["pixels"].astype(int)
+                          - exp.astype(int)).mean() < 16
+        else:
             assert (rp["pixels"] == exp).all()
 
 
@@ -161,7 +183,7 @@ def test_frame_pipeline(ray_session):
     out = rd.from_arrow(t).map_batches(
         AudioFramer, batch_format="pyarrow", batch_size=8,
         concurrency=1).to_pandas()
-    assert set(out.doc_id) == {i for i in ids if i % 3 == 0 and len(
+    assert set(out.doc_id) == {i for i in ids if i % 4 == 0 and len(
         media.frame_windows(media.parse_wav(synth_media_payload(i))["samples"],
                             media.parse_wav(synth_media_payload(i))["sample_rate"],
                             25, 100)[0]) > 0}

@@ -128,3 +128,30 @@ def test_relevance_ops_empty_and_termless_corpus(ray_session, tmp_path):
         assert bm25_search(str(d)).count() == 0
         assert tfidf_top_terms(str(d)).count() == 0
         assert unigram_doc_logprob(str(d)).count() == len(texts)
+
+
+def test_vocab_join_path_byte_parity(ray_session):
+    """The open-web-scale vocab hash-join path must be BYTE-IDENTICAL to
+    the broadcast path for both TF-IDF and the unigram LM (fixed-point
+    logs / identical IEEE score expressions make order irrelevant)."""
+    from fuzzy_matcher_ray.pipelines.relevance import (tfidf_top_terms,
+                                                       unigram_doc_logprob)
+    sf = "/root/testdata/sf0.001"
+    for fn in (tfidf_top_terms, unigram_doc_logprob):
+        b = fn(sf, vocab_strategy="broadcast").to_pandas() \
+            .reset_index(drop=True)
+        j = fn(sf, vocab_strategy="join").to_pandas().reset_index(drop=True)
+        assert len(b) > 0 and b.equals(j), fn.__name__
+
+
+def test_vocab_join_path_termless(ray_session, tmp_path):
+    """Join path survives a termless corpus (zero vocab rows)."""
+    from fuzzy_matcher_ray.pipelines.relevance import (tfidf_top_terms,
+                                                       unigram_doc_logprob)
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array([None, ""], pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    assert tfidf_top_terms(str(tmp_path), vocab_strategy="join").count() == 0
+    out = unigram_doc_logprob(str(tmp_path), vocab_strategy="join") \
+        .to_pandas()
+    assert out.n_tokens.tolist() == [0, 0]
