@@ -171,8 +171,8 @@ def attach_columns(ds, other, left_key: str, right_key: str,
 
     how="inner" drops rows of ds with no match; how="left" keeps them (nulls).
     """
+    n = other.count()
     if strategy == "auto":
-        n = other.count()
         strategy = "broadcast" if n <= broadcast_max_rows else "shuffle"
     if strategy == "broadcast":
         tbl = collect_table(other.select_columns([right_key, *cols]))
@@ -181,6 +181,14 @@ def attach_columns(ds, other, left_key: str, right_key: str,
                               batch_format="pyarrow")
     # shuffle join
     right = other.select_columns([right_key, *cols])
+    P = effective_partitions(num_partitions)
+    if n < 100 * P:
+        # Ray 2.49: a hash-aggregate right side carries SCHEMA-LESS empty
+        # blocks for key-less partitions, which break the join's key
+        # resolution (ArrowInvalid "no match for FieldRef"). Only possible
+        # when rows are few relative to the partition count — rebuild
+        # blocks cheaply in that regime; at scale every block is nonempty.
+        right = right.repartition(2)
     join_type = "inner" if how == "inner" else "left_outer"
     joined = ds.join(right, join_type, effective_partitions(num_partitions),
                      on=(left_key,), right_on=(right_key,),

@@ -23,6 +23,7 @@ DOC_QUERIES = [
     "dedup_jaccard_brute", "cluster_representatives", "tfidf_top_terms",
     "bm25_search", "unigram_doc_logprob", "host_stats", "host_block_filter",
     "normalize_nfc", "host_cap", "cluster_size_histogram",
+    "tfidf_top_terms_join", "unigram_doc_logprob_join",
 ]
 
 
