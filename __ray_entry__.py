@@ -153,17 +153,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": webtext.host_stats,
         "host_block_filter": webtext.host_block_filter,
         "host_cap": webtext.host_cap,
-        # --- retrieval / LM-quality scoring (SQL-checked); the *_join rows
-        # force the open-web vocab HASH-JOIN path through the SAME oracle
-        # as their broadcast twins (byte-parity also pytest-asserted) ---
+        # per-host duplication-rate report + quality-percentile pruning +
+        # weighted source oversampling (pretrain curation ops, SQL-checked)
+        "host_dup_stats": webtext.host_dup_stats,
+        "quality_prune": webtext.quality_prune,
+        "mix_epochs": textops.mix_epochs,
+        # --- retrieval / LM-quality scoring (SQL-checked) ---
         "tfidf_top_terms": relevance.tfidf_top_terms,
-        "tfidf_top_terms_join":
-            lambda d: relevance.tfidf_top_terms(d, vocab_strategy="join"),
         "bm25_search": relevance.bm25_search,
         "unigram_doc_logprob": relevance.unigram_doc_logprob,
-        "unigram_doc_logprob_join":
-            lambda d: relevance.unigram_doc_logprob(d,
-                                                    vocab_strategy="join"),
         "sample_stratified": textops.sample_stratified,
         "shuffle_epoch": textops.shuffle_epoch,
         "topk_per_source": textops.topk_per_source,
@@ -194,7 +192,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_jaccard_brute": jaccard_brute,
         # --- flagship dedup (rows-only; pytest brute-force oracle) ---
         "dedup_full": flagship,
-        # ------- rows-only entries below the driver's 50-row cap -------
+        # ------- entries below the driver's 50-row cap -------
+        # the *_join rows force the open-web vocab HASH-JOIN path through
+        # the SAME oracle as their broadcast twins; over-cap here (50
+        # oracle-backed rows above already fill the driver run) but still
+        # oracle-checked EVERY pytest run by test_entry_contract, plus
+        # byte-parity and null-text-parity tests
+        "tfidf_top_terms_join":
+            lambda d: relevance.tfidf_top_terms(d, vocab_strategy="join"),
+        "unigram_doc_logprob_join":
+            lambda d: relevance.unigram_doc_logprob(d,
+                                                    vocab_strategy="join"),
         # incremental InsertEntries at web scale: prior run's checkpoint
         # artifacts are the index; byte-identical-to-full-rerun parity is
         # the pytest oracle (test_incremental.py); rows-only here (own
@@ -756,6 +764,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE host NOT IN ('src3.example.com', 'src7.example.net',
                                'src12.example.org')
             ORDER BY doc_id""",
+        "host_dup_stats": f"""
+            WITH u AS (
+              SELECT source || '.example.' ||
+                     CASE doc_id % 3 WHEN 0 THEN 'com'
+                                     WHEN 1 THEN 'org'
+                                     ELSE 'net' END AS host,
+                     {_norm_of(_COAL)} AS nt
+              FROM documents),
+            s AS (SELECT host, count(*)::BIGINT AS n_docs,
+                         count(DISTINCT nt)::BIGINT AS n_unique
+                  FROM u GROUP BY host)
+            SELECT host, n_docs, n_unique,
+                   (n_docs - n_unique)::BIGINT AS n_dups,
+                   ((n_docs - n_unique) * 1000 // greatest(n_docs, 1))
+                       ::BIGINT AS dup_rate_pm
+            FROM s ORDER BY host""",
+        "quality_prune": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     (length(regexp_replace({_COAL}, '[^a-zA-Z]', '', 'g'))
+                      * 1000 // greatest(length({_COAL}), 1))::BIGINT
+                         AS score
+              FROM documents),
+            r AS (SELECT score,
+                         row_number() OVER (ORDER BY score DESC, doc_id)
+                             AS rn,
+                         count(*) OVER () AS n
+                  FROM s),
+            t AS (SELECT score AS thr FROM r
+                  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+            SELECT doc_id, score FROM s
+            WHERE score >= (SELECT thr FROM t) ORDER BY doc_id""",
+        "mix_epochs": """
+            WITH w AS (
+              SELECT doc_id, source,
+                     1 + (CAST(substr(source, 4) AS BIGINT) % 2)
+                       + CASE WHEN CAST(substr(source, 4) AS BIGINT) % 3 = 0
+                               AND (doc_id * 2654435761) % 1000000007
+                                   % 10 < 5
+                              THEN 1 ELSE 0 END AS c
+              FROM documents)
+            SELECT w.doc_id, w.source, g.copy_idx::BIGINT AS copy_idx
+            FROM w, LATERAL (SELECT unnest(range(0, w.c)) AS copy_idx) g
+            ORDER BY doc_id, copy_idx""",
         "top_ngrams": """
             WITH toks AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS w,

@@ -202,6 +202,19 @@ def run_bench() -> dict:
     unigram_doc_logprob(SF_DIR).count()
     queries["unigram_doc_logprob"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    webtext.host_dup_stats(SF_DIR).count()
+    queries["host_dup_stats"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    webtext.quality_prune(SF_DIR).count()
+    queries["quality_prune"] = round(time.perf_counter() - t0, 3)
+
+    from fuzzy_matcher_ray.pipelines.textops import mix_epochs
+    t0 = time.perf_counter()
+    mix_epochs(SF_DIR).count()
+    queries["mix_epochs"] = round(time.perf_counter() - t0, 3)
+
     # incremental fold: +10% increment against the headline corpus's
     # checkpointed artifacts, vs re-running the full pipeline over the
     # concatenation — the InsertEntries value proposition, measured.

@@ -236,6 +236,49 @@ def sample_stratified(sf_dir: str, en_keep: int = 3, other_keep: int = 1,
     return ds.map_batches(_f, batch_format="pyarrow").sort("doc_id")
 
 
+def mix_epochs(sf_dir: str, buckets: int = 10, frac_keep: int = 5):
+    """(doc_id, source, copy_idx) — weighted source OVERSAMPLING for
+    pretrain data mixing: each doc is repeated per its source's mixing
+    weight, fractional weights resolved by a pure hash of doc_id (the
+    deterministic analog of "epochs per source" in published pretrain
+    recipes, where high-quality sources repeat 2-3x per pass).
+
+    Weight rule (deterministic from the source name so the SQL oracle can
+    rebuild it): ``idx = int(source[3:])``; full copies = ``1 + idx % 2``,
+    plus one extra copy iff ``idx % 3 == 0`` AND the doc's Knuth-hash
+    bucket (< ``frac_keep`` of ``buckets``) selects it — i.e. weights of
+    1.0 / 1.5 / 2.0 / 2.5 by source class.
+
+    Streaming shape: the repeat rides inside ``map_batches`` as one
+    ``np.repeat`` (no shuffle, no state); at 100 TB this is the pattern for
+    mixture construction — output size = Σ weights, nothing moves twice.
+    ``doc_id < 2^31`` keeps the hash product exact in int64 (same contract
+    as sample_stratified).
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.cast(pc.utf8_slice_codeunits(t["source"], 3),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        full = 1 + (idx % 2)
+        bucket = (ids * 2654435761) % 1000000007 % buckets
+        extra = ((idx % 3 == 0) & (bucket < frac_keep)).astype(np.int64)
+        copies = full + extra
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), copies)
+        starts = np.cumsum(copies) - copies
+        copy_idx = np.arange(rep.size, dtype=np.int64) - starts[rep]
+        return pa.table({
+            "doc_id": pa.array(ids[rep]),
+            "source": pc.take(t["source"], pa.array(rep)),
+            "copy_idx": pa.array(copy_idx),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow") \
+        .sort(["doc_id", "copy_idx"])
+
+
 def topk_per_source(sf_dir: str, k: int = 3):
     """(source, doc_id, n_chars) — the k longest docs per source
     (window-function shape). Per-batch PARTIAL top-k first (each batch

@@ -954,3 +954,115 @@ def host_cap(sf_dir: str, k: int = 2):
 
     return cap_per_host(docs.map_batches(_mk, batch_format="pyarrow"), k) \
         .sort(["host", "n_chars", "doc_id"], descending=[False, True, False])
+
+
+def _synth_hosts(t: pa.Table) -> pa.Array:
+    """Just the host of _synth_host_urls (no scheme/path noise) — the
+    per-host report key. The DuckDB oracles rebuild it directly."""
+    ids = _as_array(t["doc_id"]).to_numpy(zero_copy_only=False)
+    return pc.binary_join_element_wise(
+        _as_array(t["source"]), pa.scalar(".example."),
+        pa.array(_HOST_TLDS[ids % 3]), "")
+
+
+def host_dup_stats(sf_dir: str):
+    """(host, n_docs, n_unique, n_dups, dup_rate_pm) — per-host exact
+    duplication health report: how much of each host's crawl is copies.
+    ``dup_rate_pm`` = dups per mille (integer, exact SQL parity).
+
+    The curation signal behind per-host crawl budgets: a host whose pages
+    are 90% boilerplate copies gets its fetch budget cut. Shape: per-batch
+    Arrow partial (group (host, norm_text) within the batch) → one
+    ``groupby(host, norm_text)`` shuffle sums the partials → per-batch
+    per-host partial → tiny ``groupby(host)`` merge. Keys here are the raw
+    normalized strings for exact SQL parity; at web scale the shuffle key
+    would be the 128-bit content hash (cf. pipelines/dedup.py exact pass),
+    same topology.
+    """
+    from ray.data.aggregate import Sum
+
+    from fuzzy_matcher_ray.functions.normalize import normalize_array
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "text"])
+
+    def _slim(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "host": _synth_hosts(t),
+            "norm_text": pc.fill_null(normalize_array(t["text"]), ""),
+        }).group_by(["host", "norm_text"]).aggregate([([], "count_all")])
+        return pa.table({"host": g["host"], "norm_text": g["norm_text"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    keyed = docs.map_batches(_slim, batch_format="pyarrow") \
+        .groupby(["host", "norm_text"]).sum("cnt")
+
+    def _per_host(t: pa.Table) -> pa.Table:
+        g = pa.table({"host": t["host"], "cnt": t["sum(cnt)"]}) \
+            .group_by("host").aggregate([("cnt", "sum"), ([], "count_all")])
+        return pa.table({"host": g["host"],
+                         "n_docs": pc.cast(g["cnt_sum"], pa.int64()),
+                         "n_unique": pc.cast(g["count_all"], pa.int64())})
+
+    merged = keyed.map_batches(_per_host, batch_format="pyarrow") \
+        .groupby("host").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                   Sum("n_unique", alias_name="n_unique"))
+
+    def _rates(t: pa.Table) -> pa.Table:
+        nd = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nu = t["n_unique"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dups = nd - nu
+        return pa.table({
+            "host": t["host"],
+            "n_docs": pa.array(nd), "n_unique": pa.array(nu),
+            "n_dups": pa.array(dups),
+            "dup_rate_pm": pa.array(dups * 1000 // np.maximum(nd, 1)),
+        })
+
+    return merged.map_batches(_rates, batch_format="pyarrow").sort("host")
+
+
+def quality_prune(sf_dir: str, keep_frac: float = 0.5):
+    """(doc_id, score) — keep the corpus' top ``keep_frac`` of docs by an
+    integer alphabetic-density score (alpha chars per mille of total),
+    ties at the threshold included.
+
+    The "prune the bottom half by quality" pretrain curation op. The
+    threshold is the k-th largest score, k = ceil(keep_frac·n), found
+    EXACTLY and distributed: range ``sort`` on the slim (score) column,
+    per-block remote ``len`` builds the offset prefix sum, and ONE scalar
+    order statistic is picked remotely where its block lives (same shape
+    as events.value_quantiles) — the corpus text never leaves the workers
+    and the driver holds one integer. Filter is a streaming expr pushdown.
+    Fixed-point score keeps exact SQL parity (no float quantile
+    interpolation anywhere).
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def _score(t: pa.Table) -> pa.Table:
+        from fuzzy_matcher_ray.functions.textstats import char_classes
+        cls = char_classes(pc.fill_null(t["text"], ""))
+        total = cls["n_chars_total"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        alpha = cls["n_alpha"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "score": pa.array(alpha * 1000
+                                           // np.maximum(total, 1))})
+
+    scored = docs.map_batches(_score, batch_format="pyarrow").materialize()
+    refs = scored.select_columns(["score"]).sort("score") \
+        .materialize().to_arrow_refs()
+    _len = ray.remote(num_cpus=0)(lambda tb: len(tb))
+    sizes = np.array(ray.get([_len.remote(r) for r in refs]), dtype=np.int64)
+    n = int(sizes.sum())
+    if n == 0:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "score": pa.array([], pa.int64())}))
+    k = min(max(int(np.ceil(keep_frac * n)), 1), n)
+    j = n - k                                   # asc index of k-th largest
+    offs = np.concatenate(([0], np.cumsum(sizes)))
+    b = int(np.searchsorted(offs, j, side="right") - 1)
+    _pick = ray.remote(num_cpus=0)(lambda tb, i: tb["score"][i].as_py())
+    thr = int(ray.get(_pick.remote(refs[b], j - int(offs[b]))))
+    return scored.filter(expr=f"score >= {thr}").sort("doc_id")

@@ -560,3 +560,63 @@ def test_normalize_nfc_composes(ray_session, tmp_path):
     broken = pc.utf8_normalize(pa.array(["é"]),
                                form="NFC").to_pylist()[0]
     assert broken in ("é", "é")
+
+
+def test_quality_prune_ties_included(ray_session, tmp_path):
+    """Threshold semantics: keep score >= the k-th largest (k=ceil(n/2)),
+    TIES INCLUDED — an all-equal corpus keeps every doc, and a planted
+    half-split keeps exactly the good half."""
+    import pyarrow.parquet as pq
+
+    from fuzzy_matcher_ray.pipelines.webtext import quality_prune
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # all-ties: identical text => identical score => everything survives
+    tbl = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(["same text here"] * 10),
+    })
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = quality_prune(str(d)).to_pandas()
+    assert len(out) == 10
+
+    # planted split: 6 alphabetic docs vs 4 digit-heavy docs => the
+    # threshold (k=5) lands inside the alphabetic tie-group, keeping all 6
+    tbl2 = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        "text": pa.array(["pure alpha words"] * 6 + ["123 456 789 000"] * 4),
+    })
+    pq.write_table(tbl2, str(d / "documents.parquet"))
+    out2 = quality_prune(str(d)).to_pandas()
+    assert sorted(out2.doc_id) == list(range(6))
+
+
+def test_mix_epochs_copy_structure(ray_session, tmp_path):
+    """Every doc appears exactly its weight-rule count of times with dense
+    copy_idx 0..c-1; output size = Σ copies (the mixing-contract shape)."""
+    import pyarrow.parquet as pq
+
+    from fuzzy_matcher_ray.pipelines.textops import mix_epochs
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    n = 40
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "source": pa.array([f"src{i % 7}" for i in range(n)]),
+    })
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = mix_epochs(str(d)).to_pandas()
+    for i in range(n):
+        idx = i % 7
+        full = 1 + (idx % 2)
+        bucket = (i * 2654435761) % 1000000007 % 10
+        c = full + (1 if (idx % 3 == 0 and bucket < 5) else 0)
+        g = out[out.doc_id == i]
+        assert list(g.copy_idx) == list(range(c)), (i, c, list(g.copy_idx))
+    assert len(out) == sum(
+        1 + ((i % 7) % 2)
+        + (1 if ((i % 7) % 3 == 0
+                 and (i * 2654435761) % 1000000007 % 10 < 5) else 0)
+        for i in range(n))
