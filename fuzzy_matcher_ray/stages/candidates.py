@@ -64,31 +64,34 @@ def _segment_explode(gk: np.ndarray, ids: np.ndarray, carries: dict,
     brk[1:] = gk[1:] != gk[:-1]
     seg_starts = np.nonzero(brk)[0]
     sizes = np.diff(np.append(seg_starts, n))
-    lo_skip = gk[0] if skip_first_last else None
-    hi_skip = gk[-1] if skip_first_last else None
-    templates: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    sel = sizes >= 2
+    if skip_first_last:
+        sel &= (gk[seg_starts] != gk[0]) & (gk[seg_starts] != gk[-1])
+    starts2, sizes2 = seg_starts[sel], sizes[sel]
+    dup_sel = sizes2 <= cap
     ia_chunks, ib_chunks = [], []
     hot_a, hot_b = [], []
-    for st, sz in zip(seg_starts.tolist(), sizes.tolist()):
-        if sz < 2:
+    # dup segments, batched BY SIZE: every segment of size s shares one
+    # triu template, so a single broadcast add explodes ALL of them at
+    # once — the loop runs over DISTINCT sizes (≤ cap values), not over
+    # segments (a 378k-segment winnow table spent ~6 s in the old
+    # per-segment loop; this is ~30 iterations for the same output)
+    dup_starts, dup_sizes = starts2[dup_sel], sizes2[dup_sel]
+    for s in np.unique(dup_sizes).tolist():
+        ti, tj = np.triu_indices(s, k=1)
+        st_s = dup_starts[dup_sizes == s]
+        ia_chunks.append((st_s[:, None] + ti[None, :]).ravel())
+        ib_chunks.append((st_s[:, None] + tj[None, :]).ravel())
+    # hot segments (> cap): star+chain per segment — rare by construction
+    # (boilerplate families), so the per-segment loop is fine here
+    for st, sz in zip(starts2[~dup_sel].tolist(), sizes2[~dup_sel].tolist()):
+        u = np.unique(ids[st: st + sz])
+        if len(u) < 2:
             continue
-        if skip_first_last and (gk[st] == lo_skip or gk[st] == hi_skip):
-            continue
-        if sz <= cap:
-            t_ = templates.get(sz)
-            if t_ is None:
-                t_ = np.triu_indices(sz, k=1)
-                templates[sz] = t_
-            ia_chunks.append(t_[0] + st)
-            ib_chunks.append(t_[1] + st)
-        else:
-            u = np.unique(ids[st: st + sz])
-            if len(u) < 2:
-                continue
-            a = np.concatenate([np.full(len(u) - 1, u[0]), u[1:-1]])
-            b = np.concatenate([u[1:], u[2:]])
-            hot_a.append(np.minimum(a, b))
-            hot_b.append(np.maximum(a, b))
+        a = np.concatenate([np.full(len(u) - 1, u[0]), u[1:-1]])
+        b = np.concatenate([u[1:], u[2:]])
+        hot_a.append(np.minimum(a, b))
+        hot_b.append(np.maximum(a, b))
     parts = []
     if ia_chunks:
         ia = np.concatenate(ia_chunks)
@@ -170,7 +173,9 @@ def _sorted_explode(dup_rows, key_cols, cfg, carry_cols, pair_filter, derive):
 
 def _driver_key_pairs(tbl: pa.Table, key_cols, cfg, carry_cols, pair_filter,
                       derive, dedup):
-    """Single-pass numpy candidate generation for driver-resident key rows."""
+    """Single-pass numpy candidate generation for driver-resident key rows:
+    one lexsort, then the same size-batched ``_segment_explode`` kernel the
+    distributed sorted path runs per block."""
     import ray.data as rd
     gk = _combined_key(tbl, key_cols)
     ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
@@ -178,56 +183,10 @@ def _driver_key_pairs(tbl: pa.Table, key_cols, cfg, carry_cols, pair_filter,
     order = np.lexsort((ids, gk))
     gk, ids = gk[order], ids[order]
     carries = {c: v[order] for c, v in carries.items()}
-    brk = np.empty(len(gk), dtype=bool)
-    brk[0] = True
-    brk[1:] = gk[1:] != gk[:-1]
-    seg_starts = np.nonzero(brk)[0]
-    sizes = np.diff(np.append(seg_starts, len(gk)))
-    cap = cfg.max_band_group
-
-    # dup segments (2..cap): template explode
-    templates: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    ia_chunks, ib_chunks = [], []
-    hot_a, hot_b = [], []
-    for st, n in zip(seg_starts.tolist(), sizes.tolist()):
-        if n < 2:
-            continue
-        if n <= cap:
-            t_ = templates.get(n)
-            if t_ is None:
-                t_ = np.triu_indices(n, k=1)
-                templates[n] = t_
-            ia_chunks.append(t_[0] + st)
-            ib_chunks.append(t_[1] + st)
-        else:
-            # hot group: star + chain over unique ids (skew cap)
-            u = np.unique(ids[st: st + n])
-            if len(u) < 2:
-                continue
-            a = np.concatenate([np.full(len(u) - 1, u[0]), u[1:-1]])
-            b = np.concatenate([u[1:], u[2:]])
-            hot_a.append(np.minimum(a, b))
-            hot_b.append(np.maximum(a, b))
-    parts = []
-    if ia_chunks:
-        ia = np.concatenate(ia_chunks)
-        ib = np.concatenate(ib_chunks)
-        keep = ids[ia] != ids[ib]
-        ia, ib = ia[keep], ib[keep]
-        cols = {"doc_id_a": pa.array(ids[ia]), "doc_id_b": pa.array(ids[ib])}
-        for c in carry_cols:
-            cols[f"{c}_a"] = pa.array(carries[c][ia])
-            cols[f"{c}_b"] = pa.array(carries[c][ib])
-        parts.append(_finish_pairs(pa.table(cols), carry_cols, pair_filter, derive))
-    if hot_a:
-        t = pa.table({"a": pa.array(np.concatenate(hot_a)),
-                      "b": pa.array(np.concatenate(hot_b))})
-        for name in derive:
-            t = t.append_column(name, pa.nulls(len(t), pa.int64()))
-        parts.append(t)
-    if not parts:
+    out = _segment_explode(gk, ids, carries, cfg.max_band_group, carry_cols,
+                           pair_filter, derive)
+    if len(out) == 0:
         return rd.from_arrow(_pairs_schema(derive))
-    out = pa.concat_tables(parts).combine_chunks()
     if dedup:
         out = _numpy_dedup_pairs(out, list(derive))
     chunk = 4096   # small blocks: downstream verify parallelism & batch dedup
@@ -314,7 +273,15 @@ def _driver_explode(dup_rows, key_cols, carry_cols, pair_filter, derive, cfg):
 
 
 def _combined_key(batch: pa.Table, key_cols: list[str]) -> np.ndarray:
-    """Mix multiple key columns into one uint64 for membership tests."""
+    """Mix multiple key columns into one uint64 for membership tests.
+
+    Single-column fast path: the column IS the key — identity is injective
+    (strictly better than the lossy mix) and skips the splitmix temporaries,
+    whose fresh multi-MB allocations this VM faults at ~100x cost (measured
+    3.5 s over a 2.6M-row winnow table; the identity path is ~0.1 s)."""
+    if len(key_cols) == 1:
+        return (batch[key_cols[0]].to_numpy(zero_copy_only=False)
+                .astype(np.int64, copy=False).view(np.uint64))
     acc = np.zeros(len(batch), dtype=np.uint64)
     for i, c in enumerate(key_cols):
         v = batch[c].to_numpy(zero_copy_only=False).astype(np.int64, copy=False).view(np.uint64)
