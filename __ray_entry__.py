@@ -203,6 +203,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_doc_logprob_join":
             lambda d: relevance.unigram_doc_logprob(d,
                                                     vocab_strategy="join"),
+        # graded contamination report (decontaminate's threshold is tuned
+        # from this) — oracle-backed, over-cap; checked every pytest run
+        "contamination_scores": webtext.contamination_scores,
         # incremental InsertEntries at web scale: prior run's checkpoint
         # artifacts are the index; byte-identical-to-full-rerun parity is
         # the pytest oracle (test_incremental.py); rows-only here (own
@@ -657,6 +660,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id FROM documents d LEFT JOIN hits USING (doc_id)
             WHERE d.doc_id >= 20 AND coalesce(hits.h, 0) < 5
             ORDER BY d.doc_id""",
+        "contamination_scores": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents),
+            tri AS (SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+                    FROM toks a
+                    JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+                    JOIN toks c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+            evalg AS (SELECT DISTINCT g FROM tri WHERE doc_id < 20),
+            per AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+                           sum(CASE WHEN g IN (SELECT g FROM evalg)
+                                    THEN 1 ELSE 0 END)::BIGINT AS n_hits
+                    FROM tri WHERE doc_id >= 20 GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(p.n_hits, 0)::BIGINT AS n_hits,
+                   (coalesce(p.n_hits, 0) * 1000
+                    // greatest(coalesce(p.n_grams, 0), 1))::BIGINT
+                       AS contam_pm
+            FROM documents d LEFT JOIN per p USING (doc_id)
+            WHERE d.doc_id >= 20 ORDER BY d.doc_id""",
         "unigram_doc_logprob": """
             WITH toks AS (
               SELECT doc_id, t AS term

@@ -451,6 +451,51 @@ def decontaminate(sf_dir: str, n_eval: int = 20, gram_n: int = 3,
     return ds.map_batches(_survivors, batch_format="pyarrow").sort("doc_id")
 
 
+def contamination_scores(sf_dir: str, n_eval: int = 20, gram_n: int = 3):
+    """(doc_id, n_grams, n_hits, contam_pm) — GRADED eval-set contamination
+    per corpus doc: how many of its positional token n-grams appear in the
+    eval set, as a count and an integer per-mille fraction (``decontaminate``
+    is the binary drop; this is the report the threshold is tuned from).
+
+    Same shape as decontaminate: tiny eval gram set collected once and
+    broadcast via ``ray.put``; the corpus pass is one streaming
+    ``map_batches`` (is_in membership + two bincounts) — no shuffle.
+    Gram-less docs score (0, 0, 0), matching the oracle's LEFT JOIN.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ev = ds.filter(expr=f"doc_id < {n_eval}")
+
+    def _grams(t: pa.Table) -> pa.Table:
+        g, _ = _token_ngrams(_as_array(t["text"]), gram_n)
+        return pa.table({"g": pc.unique(g)})
+
+    eval_tbl = pa.concat_tables(
+        ev.map_batches(_grams, batch_format="pyarrow")
+        .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    eval_set = pc.unique(eval_tbl["g"].combine_chunks())
+    ref = ray.put(eval_set)
+
+    def _score(t: pa.Table) -> pa.Table:
+        ids = _as_array(t["doc_id"]).to_numpy(zero_copy_only=False)
+        keep = ids >= n_eval
+        g, doc_of = _token_ngrams(_as_array(t["text"]), gram_n)
+        hit = pc.is_in(g, value_set=ray.get(ref)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        total = np.bincount(doc_of, minlength=len(ids)).astype(np.int64)
+        hits = np.bincount(doc_of, weights=hit,
+                           minlength=len(ids)).astype(np.int64)
+        pm = hits * 1000 // np.maximum(total, 1)
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_grams": pa.array(total[keep]),
+            "n_hits": pa.array(hits[keep]),
+            "contam_pm": pa.array(pm[keep]),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow").sort("doc_id")
+
+
 def _bloom_params(n_keys: int, bits_per_key: int) -> int:
     """Power-of-two bit count ≥ bits_per_key·n_keys (mask-indexable)."""
     want = max(64, bits_per_key * max(n_keys, 1))

@@ -24,7 +24,7 @@ DOC_QUERIES = [
     "bm25_search", "unigram_doc_logprob", "host_stats", "host_block_filter",
     "normalize_nfc", "host_cap", "cluster_size_histogram",
     "tfidf_top_terms_join", "unigram_doc_logprob_join",
-    "host_dup_stats", "quality_prune", "mix_epochs",
+    "host_dup_stats", "quality_prune", "mix_epochs", "contamination_scores",
 ]
 
 
