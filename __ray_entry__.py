@@ -206,6 +206,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graded contamination report (decontaminate's threshold is tuned
         # from this) — oracle-backed, over-cap; checked every pytest run
         "contamination_scores": webtext.contamination_scores,
+        # fuzzy eval-set contamination: max exact 5-gram Jaccard vs any
+        # eval doc — oracle-backed, over-cap; checked every pytest run
+        "neardup_contamination": webtext.neardup_contamination,
+        # CCNet-style boilerplate removal: drop EVERY occurrence of spans
+        # in >= 3 distinct docs (span_dedup keeps the first) —
+        # oracle-backed, over-cap; checked every pytest run
+        "boilerplate_prune": webtext.boilerplate_prune,
         # incremental InsertEntries at web scale: prior run's checkpoint
         # artifacts are the index; byte-identical-to-full-rerun parity is
         # the pytest oracle (test_incremental.py); rows-only here (own
@@ -682,6 +689,43 @@ def oracle_sql() -> dict[str, str]:
                        AS contam_pm
             FROM documents d LEFT JOIN per p USING (doc_id)
             WHERE d.doc_id >= 20 ORDER BY d.doc_id""",
+        # max exact char-5-gram Jaccard vs any eval doc, integer per-mille
+        # (same normalization + shingle framing as dedup_jaccard_brute)
+        "neardup_contamination": f"""
+            WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            g AS (SELECT doc_id, substr(t, CAST(u AS INT), 5) AS sh
+                  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS u
+                        FROM norm WHERE length(t) >= 5)),
+            d AS (SELECT DISTINCT doc_id, sh FROM g),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS cid, y.doc_id AS eid,
+                             count(*) AS c
+                      FROM d x JOIN d y ON x.sh = y.sh
+                      WHERE x.doc_id >= 20 AND y.doc_id < 20
+                      GROUP BY x.doc_id, y.doc_id),
+            mx AS (SELECT cid, max(c * 1000 // (sa.n + sb.n - c)) AS pm
+                   FROM inter JOIN sz sa ON sa.doc_id = inter.cid
+                              JOIN sz sb ON sb.doc_id = inter.eid
+                   GROUP BY cid)
+            SELECT doc_id, COALESCE(mx.pm, 0)::BIGINT AS max_jacc_pm
+            FROM documents LEFT JOIN mx ON doc_id = mx.cid
+            WHERE doc_id >= 20 ORDER BY doc_id""",
+        # drop every span appearing in >= 3 distinct docs; rebuild docs
+        "boilerplate_prune": """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+                     generate_subscripts(string_split(text, ' '), 1) AS i
+              FROM documents),
+            spans AS (
+              SELECT doc_id, (i-1)//10 AS ln,
+                     string_agg(w, ' ' ORDER BY i) AS line
+              FROM toks GROUP BY doc_id, (i-1)//10),
+            freq AS (SELECT line, count(DISTINCT doc_id) AS nd
+                     FROM spans GROUP BY line),
+            kept AS (SELECT s.doc_id, s.ln, s.line FROM spans s
+                     JOIN freq f ON s.line = f.line WHERE f.nd < 3)
+            SELECT doc_id, string_agg(line, ' ' ORDER BY ln) AS kept_text
+            FROM kept GROUP BY doc_id ORDER BY doc_id""",
         "unigram_doc_logprob": """
             WITH toks AS (
               SELECT doc_id, t AS term

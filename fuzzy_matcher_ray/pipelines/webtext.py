@@ -155,14 +155,20 @@ def dedup_spans(docs, *, span_tokens: int | None = 10, pattern: str = "\n"):
     kept = attach_columns(ex, winners, "line", "line", {"win": "win"},
                           how="inner")
     kept = kept.map_batches(_keep_winners, batch_format="pyarrow")
+    return _rebuild_docs(kept, exploder.joiner)
 
-    joiner = exploder.joiner
-    # rebuild — one range sort on pack (== (doc_id, ln) lexicographic) then
-    # a per-BLOCK segmented binary_join: zero per-doc Python dispatch (the
-    # round-2 map_groups rebuild cost ~1 ms per doc — untenable at 10^9
-    # docs). Docs whose rows may straddle block edges (each block's first /
-    # last doc) are skipped per block and re-joined from a tiny collected
-    # side-set, the stages/candidates._sorted_explode boundary pattern.
+
+def _rebuild_docs(kept, joiner: str):
+    """Surviving (doc_id, line, pack) rows → (doc_id, kept_text) docs.
+
+    One range sort on pack (== (doc_id, ln) lexicographic) then a per-BLOCK
+    segmented binary_join: zero per-doc Python dispatch (the round-2
+    map_groups rebuild cost ~1 ms per doc — untenable at 10^9 docs). Docs
+    whose rows may straddle block edges (each block's first / last doc) are
+    skipped per block and re-joined from a tiny collected side-set, the
+    stages/candidates._sorted_explode boundary pattern. Shared by
+    ``dedup_spans`` (keep-first) and ``drop_boilerplate`` (drop-frequent).
+    """
     sorted_kept = kept.sort("pack").materialize()
 
     interior = sorted_kept.map_batches(
@@ -200,6 +206,62 @@ def line_dedup(docs):
     """(doc_id, kept_text) — newline-delimited exact line dedup (RefinedWeb
     boilerplate removal) over any (doc_id, text) Dataset."""
     return dedup_spans(docs, span_tokens=None, pattern="\n").sort("doc_id")
+
+
+def drop_boilerplate(docs, *, span_tokens: int | None = 10,
+                     pattern: str = "\n", min_docs: int = 3):
+    """Frequency-based boilerplate removal over a (doc_id, text) Dataset.
+
+    Drops EVERY occurrence of any span appearing in >= ``min_docs``
+    DISTINCT documents (nav bars, cookie banners, license blocks — the
+    CCNet-style line-frequency filter), where ``dedup_spans`` keeps the
+    first occurrence. Returns (doc_id, kept_text); docs that keep nothing
+    (pure boilerplate) drop out.
+
+    Shape: explode (the same vectorized kernel as ``dedup_spans``) →
+    per-batch distinct (line, doc) partial document-frequency counts —
+    EXACT, because every doc's spans live in exactly one batch — → one
+    hash groupby summing the partials → the flagged side (tiny: spans
+    shared by >= min_docs docs) joins back broadcast-or-shuffle via
+    ``attach_columns`` → survivors rebuilt by the shared segmented kernel.
+    One content-keyed shuffle total, same as the winner pass.
+    """
+    from ray.data.aggregate import Sum
+
+    exploder = SpanExploder(span_tokens, pattern)
+    docs = docs.map_batches(
+        lambda t: t.filter(pc.is_valid(t["text"])), batch_format="pyarrow")
+    ex = docs.map_batches(exploder, batch_format="pyarrow")
+
+    def _partial_df(t: pa.Table) -> pa.Table:
+        d = pa.table({"line": t["line"], "doc_id": t["doc_id"]}) \
+            .group_by(["line", "doc_id"]).aggregate([])
+        c = d.group_by("line").aggregate([("doc_id", "count")])
+        return pa.table({"line": c["line"],
+                         "nd": pc.cast(c["doc_id_count"], pa.int64())})
+
+    # materialize the small flagged side: attach_columns probes its size
+    # and then joins it — unmaterialized, the groupby would execute twice
+    bad = (ex.map_batches(_partial_df, batch_format="pyarrow")
+           .groupby("line").aggregate(Sum("nd", alias_name="nd"))
+           .filter(expr=f"nd >= {min_docs}").materialize())
+    marked = attach_columns(ex, bad, "line", "line", {"nd": "nd_bad"},
+                            how="left")
+    kept = marked.map_batches(
+        lambda t: t.filter(pc.is_null(t["nd_bad"]))
+                   .select(["doc_id", "line", "pack"]),
+        batch_format="pyarrow")
+    return _rebuild_docs(kept, exploder.joiner)
+
+
+def boilerplate_prune(sf_dir: str, span_tokens: int = 10, min_docs: int = 3):
+    """(doc_id, kept_text) — boilerplate-span removal over the documents
+    table (SQL-checked: the DuckDB oracle counts distinct docs per span and
+    rebuilds via string_agg)."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return drop_boilerplate(docs, span_tokens=span_tokens,
+                            min_docs=min_docs).sort("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -492,6 +554,93 @@ def contamination_scores(sf_dir: str, n_eval: int = 20, gram_n: int = 3):
             "n_hits": pa.array(hits[keep]),
             "contam_pm": pa.array(pm[keep]),
         })
+
+    return ds.map_batches(_score, batch_format="pyarrow").sort("doc_id")
+
+
+def neardup_contamination(sf_dir: str, n_eval: int = 20, shingle_k: int = 5):
+    """(doc_id, max_jacc_pm) — NEAR-DUP eval-set contamination per corpus
+    doc: the maximum exact char-``shingle_k``-gram Jaccard similarity
+    against any eval doc (doc_id < ``n_eval``), as integer per-mille.
+
+    The fuzzy counterpart of ``contamination_scores`` (positional-gram
+    membership): a training doc can leak an eval answer through light
+    paraphrase that exact gram hits under-count; fuzzy decontamination
+    thresholds on this score. Shingling/normalization matches
+    ``dedup_jaccard_brute`` (64-bit shingle hashes stand in for shingle
+    identity — the established exact-Jaccard convention here).
+
+    Shape: eval benchmarks are KBs while corpora are TBs, so the eval
+    shingle index (hash-sorted array + eval-doc slot + set size) is built
+    once and broadcast via ``ray.put``; the corpus pass is one streaming
+    ``map_batches`` — per batch, distinct corpus shingles probe the sorted
+    index with two searchsorted calls, matches expand to (doc, eval) pair
+    intersection counts via one bincount, and exact Jaccard maxes over the
+    eval axis. No shuffle at all. The per-batch counter is a dense
+    (batch_docs × eval_docs) int64 matrix — right for benchmark-sized eval
+    sets (10^1-10^4 docs); a much larger "eval" side should use the
+    inverted-index join of ``jaccard_allpairs_clusters`` instead.
+    """
+    from fuzzy_matcher_ray.functions.normalize import normalize_array
+    from fuzzy_matcher_ray.functions.shingle import (shingle_batch,
+                                                     unique_per_doc)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ev = ds.filter(expr=f"doc_id < {n_eval}")
+
+    def _shingle_rows(t: pa.Table):
+        norm = normalize_array(pc.fill_null(_as_array(t["text"]), ""))
+        h, c = shingle_batch(norm, shingle_k, 0)
+        uh, uc = unique_per_doc(h, c)
+        ids = _as_array(t["doc_id"]).to_numpy(zero_copy_only=False)
+        return ids.astype(np.int64), uh.view(np.int64), uc.astype(np.int64)
+
+    def _ev_rows(t: pa.Table) -> pa.Table:
+        ids, uh, uc = _shingle_rows(t)
+        return pa.table({"sh": pa.array(uh),
+                         "eid": pa.array(np.repeat(ids, uc))})
+
+    parts = list(ev.map_batches(_ev_rows, batch_format="pyarrow")
+                 .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if parts:
+        et = pa.concat_tables(parts).combine_chunks()
+        e_h = et["sh"].to_numpy(zero_copy_only=False)
+        e_id = et["eid"].to_numpy(zero_copy_only=False)
+    else:
+        e_h = np.empty(0, np.int64)
+        e_id = np.empty(0, np.int64)
+    _slots, slot_of, e_size = np.unique(e_id, return_inverse=True,
+                                        return_counts=True)
+    order = np.argsort(e_h, kind="stable")
+    ref = ray.put((e_h[order], slot_of[order].astype(np.int64),
+                   e_size.astype(np.int64)))
+
+    def _score(t: pa.Table) -> pa.Table:
+        e_hs, e_slot, e_sz = ray.get(ref)
+        n_slots = len(e_sz)
+        ids, uh, uc = _shingle_rows(t)
+        keep = ids >= n_eval
+        pm_max = np.zeros(len(ids), np.int64)
+        if n_slots and uh.size:
+            doc_of = np.repeat(np.arange(len(ids)), uc)
+            lo = np.searchsorted(e_hs, uh, "left")
+            hi = np.searchsorted(e_hs, uh, "right")
+            m = hi - lo
+            total = int(m.sum())
+            if total:
+                rep = np.repeat(np.arange(len(uh)), m)
+                offs = np.concatenate(([0], np.cumsum(m)[:-1]))
+                pos = (np.arange(total, dtype=np.int64)
+                       - np.repeat(offs, m) + np.repeat(lo, m))
+                key = doc_of[rep] * n_slots + e_slot[pos]
+                c = np.bincount(key, minlength=len(ids) * n_slots) \
+                    .astype(np.int64).reshape(len(ids), n_slots)
+                union = uc[:, None] + e_sz[None, :] - c
+                pm = np.where(c > 0, c * 1000 // np.maximum(union, 1), 0)
+                pm_max = pm.max(axis=1)
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "max_jacc_pm": pa.array(pm_max[keep])})
 
     return ds.map_batches(_score, batch_format="pyarrow").sort("doc_id")
 
