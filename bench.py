@@ -321,6 +321,42 @@ def run_scaling() -> dict:
     }
 
 
+def run_scaling_distributed() -> dict:
+    """--scaling in the CLUSTER-SHAPE configuration: every driver fast path
+    forced to its distributed twin (FMR_DRIVER_EXPLODE_MAX_ROWS=0 — the
+    exact code a 100 TB shard runs, where the thresholds are always
+    exceeded). Slower in absolute wall at toy scale (the distributed
+    shuffles' fixed costs only amortize on real shards) but measures the
+    engine's parallel fraction without the deliberately-serial small-corpus
+    driver shortcuts."""
+    def _run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   FMR_BENCH_DOCS=str(_SCALING_DOCS),
+                   FMR_BENCH_SKIP_SECONDARY="1",
+                   FMR_DRIVER_EXPLODE_MAX_ROWS="0")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = _SCALE_LO, _SCALE_HI
+    r_lo = min((_run(lo) for _ in range(2)), key=lambda r: r["value"])
+    r_hi = min((_run(hi) for _ in range(2)), key=lambda r: r["value"])
+    tput_lo = r_lo["docs_per_sec"]
+    tput_hi = r_hi["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency, cluster-shape config "
+                  "(distributed twins forced)",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "docs_per_sec_lo": tput_lo, "docs_per_sec_hi": tput_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"], "corpus_docs": r_hi["corpus_docs"],
+    }
+
+
 def run_scaling_throughput() -> dict:
     """Cluster-analog THROUGHPUT scaling: 1 shard on an 8-cpu head vs 4
     identical shards on 4 concurrent 8-cpu heads (one box). On a real
@@ -360,6 +396,8 @@ def run_scaling_throughput() -> dict:
 if __name__ == "__main__":
     if "--scaling-throughput" in sys.argv:
         print(json.dumps(run_scaling_throughput()))
+    elif "--scaling-distributed" in sys.argv:
+        print(json.dumps(run_scaling_distributed()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

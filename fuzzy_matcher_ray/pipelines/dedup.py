@@ -89,9 +89,17 @@ def exact_dup_edges(norm, cfg: PipelineConfig):
     # 128-bit key, zero pair explosion (exact mega-groups cost O(n), not
     # O(n^2) — the skew story needs no cap here)
     reps = rows.groupby(["text_hash", "text_hash2"]).aggregate(
-        Min("doc_id", alias_name="rep"))
-    with_rep = rows.join(reps, "inner",
-                         effective_partitions(cfg.join_num_partitions),
+        Min("doc_id", alias_name="rep")).materialize()
+    P = effective_partitions(cfg.join_num_partitions)
+    if reps.count() < 100 * P:
+        # Ray 2.49: hash-aggregate outputs carry SCHEMA-LESS empty blocks
+        # for key-less partitions, which break join key resolution
+        # (ArrowInvalid "no match for FieldRef text_hash"). Same guard as
+        # stages/joins.attach_columns; reps is slim (24 B/key) and already
+        # needs one execution for the join, so the materialize+count is
+        # nearly free and the repartition only fires in the sparse regime.
+        reps = reps.repartition(2)
+    with_rep = rows.join(reps, "inner", P,
                          on=("text_hash", "text_hash2"),
                          aggregator_ray_remote_args=JOIN_AGG_ARGS)
 

@@ -31,6 +31,8 @@ import ray
 from fuzzy_matcher_ray.config import PipelineConfig
 from fuzzy_matcher_ray.functions.shingle import splitmix64
 
+import os as _os
+
 # membership sets larger than this are not broadcast — the semi-join path
 # (hash-partitioned) takes over. ~8 bytes/key ⇒ 160 MB ceiling.
 BROADCAST_KEYS_MAX = 20_000_000
@@ -42,8 +44,12 @@ BROADCAST_KEYS_MAX = 20_000_000
 # size (each Ray groupby over ~2M rows costs ~18 s of fixed shuffle/agg
 # overhead on one node; the distributed path pays two). Real 100 TB shards
 # exceed the threshold and take the distributed path, where that cost
-# parallelizes across nodes.
-DRIVER_EXPLODE_MAX_ROWS = 16_000_000
+# parallelizes across nodes. Env-overridable so the scaling bench can force
+# the cluster-shape (distributed) configuration on a small corpus
+# (FMR_DRIVER_EXPLODE_MAX_ROWS=0 ⇒ every fast path takes its distributed
+# twin, the exact code a 100 TB shard runs).
+DRIVER_EXPLODE_MAX_ROWS = int(_os.environ.get(
+    "FMR_DRIVER_EXPLODE_MAX_ROWS", 16_000_000))
 
 
 def _segment_explode(gk: np.ndarray, ids: np.ndarray, carries: dict,
