@@ -257,16 +257,29 @@ def bm25_search(sf_dir: str, n_query_terms: int = 3, k: int = 10,
     if n_docs == 0:
         return rd.from_arrow(empty_out)
     df_ds = _df_table(docs, 1)
-    parts = list(df_ds.iter_batches(batch_size=1 << 20,
-                                    batch_format="pyarrow"))
+
+    # query = the n_query_terms highest-df terms. Per-batch PARTIAL top-k
+    # under the final total order (df desc, term asc) — each post-aggregate
+    # batch forwards at most n_query_terms rows, so the driver sees an
+    # O(blocks · n_query_terms) residue, never the vocabulary (same
+    # partial-top-k argument as the score pass below).
+    def _batch_top(t: pa.Table) -> pa.Table:
+        if len(t) <= n_query_terms:
+            return t
+        idx = pc.sort_indices(t, sort_keys=[("df", "descending"),
+                                            ("term", "ascending")])
+        return t.take(idx[:n_query_terms])
+
+    parts = list(df_ds.map_batches(_batch_top, batch_format="pyarrow")
+                 .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
     if not parts:
         return rd.from_arrow(empty_out)   # docs exist but carry no terms
     t = pa.concat_tables(parts)
-    dfp = t.to_pandas().sort_values(["df", "term"],
-                                    ascending=[False, True])
-    q = dfp.head(n_query_terms)
-    q_terms = pa.array(q["term"].tolist(), pa.string())
-    q_df = q["df"].to_numpy().astype(np.int64)
+    q = t.take(pc.sort_indices(t, sort_keys=[("df", "descending"),
+                                             ("term", "ascending")])
+               [:n_query_terms])
+    q_terms = q["term"].combine_chunks().cast(pa.string())
+    q_df = q["df"].to_numpy(zero_copy_only=False).astype(np.int64)
 
     # avgdl over ALL docs (null text = length-0 doc) — one tiny aggregate
     def _dl(tb: pa.Table) -> pa.Table:
