@@ -440,11 +440,13 @@ def unigram_doc_logprob(sf_dir: str, vocab_strategy: str = "auto"):
     """
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
+    from ray.data.aggregate import Sum
     tf_agg = _tf_table(docs).materialize()
-    total = float(sum(
-        int(pc.sum(p["c"]).as_py() or 0)
-        for p in tf_agg.iter_batches(batch_size=1 << 20,
-                                     batch_format="pyarrow"))) or 1.0
+    # one distributed scalar aggregate — the vocab-sized table never
+    # streams through the driver just to be summed
+    _tot = (tf_agg.aggregate(Sum("c", alias_name="s"))["s"]
+            if tf_agg.count() else None)
+    total = float(_tot or 0) or 1.0
     if vocab_strategy == "auto":
         vocab_strategy = ("broadcast"
                           if tf_agg.count() <= VOCAB_BROADCAST_MAX_ROWS
