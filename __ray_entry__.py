@@ -93,7 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.pipelines import events as ev
     from fuzzy_matcher_ray.pipelines import (analytics, knn, multimodal,
-                                             relevance, textops, webtext)
+                                             relevance, semantic, textops,
+                                             webtext)
     from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
     from fuzzy_matcher_ray.pipelines.fuzzy_query import fuzzy_topk_levenshtein
     from fuzzy_matcher_ray.sources.protocol import documents_source
@@ -260,6 +261,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_clusters_lsh":
             lambda d: knn.embedding_dup_clusters_lsh(d, threshold=0.4,
                                                      n_bits=4, n_tables=16),
+        # SemDeDup semantic dedup: distributed spherical k-means (order-free
+        # int64 fixed-point Lloyd) + per-cluster greedy cosine prune.
+        # Iterative — not SQL-expressible; rows-only here, EXACT driver-twin
+        # and greedy-oracle parity in tests/test_semantic.py
+        "semantic_clusters": semantic.semantic_clusters,
+        "semdedup_prune": semantic.semdedup_prune,
         # --- multimodal (REAL WAV/PPM/PNG/baseline-JPEG decode, pytest
         #     round-trip oracles; only MP3/H.264 remain honestly stubbed) ---
         "multimodal_decode": multimodal.decode_binary_docs,

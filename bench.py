@@ -215,6 +215,11 @@ def run_bench() -> dict:
     mix_epochs(SF_DIR).count()
     queries["mix_epochs"] = round(time.perf_counter() - t0, 3)
 
+    from fuzzy_matcher_ray.pipelines import semantic
+    t0 = time.perf_counter()
+    semantic.semdedup_prune(SF_DIR).count()
+    queries["semdedup_prune"] = round(time.perf_counter() - t0, 3)
+
     # incremental fold: +10% increment against the headline corpus's
     # checkpointed artifacts, vs re-running the full pipeline over the
     # concatenation — the InsertEntries value proposition, measured.
