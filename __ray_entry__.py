@@ -214,6 +214,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in >= 3 distinct docs (span_dedup keeps the first) —
         # oracle-backed, over-cap; checked every pytest run
         "boilerplate_prune": webtext.boilerplate_prune,
+        # pretraining sequence packing: fixed 64-token windows over the
+        # doc_id-ordered token stream via a distributed weighted prefix
+        # sum — oracle-backed, over-cap; checked every pytest run
+        "pack_sequences": textops.pack_sequences,
         # incremental InsertEntries at web scale: prior run's checkpoint
         # artifacts are the index; byte-identical-to-full-rerun parity is
         # the pytest oracle (test_incremental.py); rows-only here (own
@@ -733,6 +737,26 @@ def oracle_sql() -> dict[str, str]:
                      JOIN freq f ON s.line = f.line WHERE f.nd < 3)
             SELECT doc_id, string_agg(line, ' ' ORDER BY ln) AS kept_text
             FROM kept GROUP BY doc_id ORDER BY doc_id""",
+        # fixed 64-token windows over the doc_id-ordered token stream;
+        # exclusive running sum = each doc's global token offset
+        "pack_sequences": f"""
+            WITH tc AS (SELECT doc_id,
+                               COALESCE(({_NTOK}), 0)::BIGINT AS tc
+                        FROM documents),
+            o AS (SELECT doc_id, tc,
+                         COALESCE(sum(tc) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0)::BIGINT AS off
+                  FROM tc),
+            s AS (SELECT doc_id, tc, off,
+                         unnest(generate_series(off // 64,
+                                                (off + tc - 1) // 64))
+                             AS seq_id
+                  FROM o WHERE tc > 0)
+            SELECT seq_id::BIGINT AS seq_id, doc_id,
+                   greatest(0, seq_id * 64 - off)::BIGINT AS tok_start,
+                   least(tc, (seq_id + 1) * 64 - off)::BIGINT AS tok_end
+            FROM s ORDER BY seq_id, doc_id""",
         "unigram_doc_logprob": """
             WITH toks AS (
               SELECT doc_id, t AS term

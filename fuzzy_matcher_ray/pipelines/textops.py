@@ -120,6 +120,59 @@ def token_counts(sf_dir: str):
     return _docs(sf_dir).map_batches(_f, batch_format="pyarrow")
 
 
+def _pack(ds, window: int, stamp_mode: str = "distributed"):
+    """Core of ``pack_sequences`` over a (doc_id, text) Dataset."""
+    from fuzzy_matcher_ray.stages.ranks import stamp_global_prefix_sums
+
+    def _tc(t: pa.Table) -> pa.Table:
+        toks = pc.cast(token_count(pc.fill_null(t["text"], "")), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "tc": toks})
+
+    slim = ds.map_batches(_tc, batch_format="pyarrow").sort("doc_id")
+    stamped = stamp_global_prefix_sums(slim, "tc", col="off",
+                                       mode=stamp_mode)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        tc = t["tc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = t["off"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = tc > 0
+        tc, off, ids = tc[keep], off[keep], ids[keep]
+        first = off // window
+        cnt = (off + tc - 1) // window - first + 1
+        ridx = np.repeat(np.arange(len(ids), dtype=np.int64), cnt)
+        intra = (np.arange(int(cnt.sum()), dtype=np.int64)
+                 - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        seq = first[ridx] + intra
+        return pa.table({
+            "seq_id": pa.array(seq),
+            "doc_id": pa.array(ids[ridx]),
+            "tok_start": pa.array(np.maximum(0, seq * window - off[ridx])),
+            "tok_end": pa.array(np.minimum(tc[ridx],
+                                           (seq + 1) * window - off[ridx])),
+        })
+
+    return stamped.map_batches(_explode, batch_format="pyarrow") \
+                  .sort(["seq_id", "doc_id"])
+
+
+def pack_sequences(sf_dir: str, window: int = 64,
+                   stamp_mode: str = "distributed"):
+    """(seq_id, doc_id, tok_start, tok_end) — pretraining sequence packing:
+    the corpus's whitespace tokens, concatenated in doc_id order, cut into
+    fixed ``window``-token sequences. A doc spanning several windows emits
+    one row per window with its in-doc token range [tok_start, tok_end);
+    zero-token (or null) docs emit nothing.
+
+    Only a slim (doc_id, n_tokens) table ever moves: global token offsets
+    are a distributed EXCLUSIVE prefix sum over the doc_id-sorted slim
+    table (per-block remote sums → O(blocks) driver ints → per-block
+    stamp — ``stages/ranks.stamp_global_prefix_sums``), then each block
+    vectorized-explodes its own rows into their window spans. Text never
+    shuffles; no whole-corpus driver materialization at any scale."""
+    return _pack(_docs(sf_dir), window, stamp_mode)
+
+
 def text_quality(sf_dir: str):
     """(doc_id, n_chars_total, n_alpha, n_digit, n_space, stop_hits, tier).
 

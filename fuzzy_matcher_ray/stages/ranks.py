@@ -157,3 +157,67 @@ def grouped_topk(ds, group_col: str, value_col: str, id_col: str, k: int,
         return out
 
     return joined.map_batches(_keep, batch_format="pyarrow")
+
+
+@ray.remote
+def _block_value_sum(block, value_col: str) -> int:
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    if len(t) == 0:
+        return 0
+    s = pc.sum(pc.fill_null(pc.cast(t[value_col], pa.int64()), 0))
+    return int(s.as_py() or 0)
+
+
+def _exclusive_cumsum_col(t: pa.Table, start: int, value_col: str,
+                          col: str) -> pa.Table:
+    v = pc.fill_null(pc.cast(t[value_col], pa.int64()), 0) \
+          .to_numpy(zero_copy_only=False)
+    run = np.cumsum(v, dtype=np.int64)
+    return t.append_column(col, pa.array(start + run - v))
+
+
+@ray.remote
+def _stamp_prefix_block(block, start: int, value_col: str, col: str):
+    t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+    return _exclusive_cumsum_col(t, start, value_col, col)
+
+
+def stamp_global_prefix_sums(sorted_ds, value_col: str, col: str = "off",
+                             mode: str = "distributed"):
+    """Append each row's EXCLUSIVE global running sum of ``value_col``
+    (int64, nulls = 0) to a dataset whose blocks are already in the desired
+    total order — the weighted analog of ``stamp_global_positions`` (row
+    offsets in tokens/bytes instead of rows; sequence packing, byte-range
+    assignment).
+
+    ``mode="distributed"`` (default, the scale path): one tiny remote sum
+    per block → O(blocks) ints prefix-summed on the driver → one remote
+    stamp per block. Block data never reaches the driver.
+    ``mode="driver"`` ray.gets every block — kept ONLY as the parity
+    oracle for tests (byte-identical by construction).
+    """
+    mat = sorted_ds.materialize()
+    if mode == "driver":                       # parity oracle
+        tables = [t for t in ray.get(list(mat.to_arrow_refs())) if len(t)]
+        out, start = [], 0
+        for tb in tables:
+            out.append(_exclusive_cumsum_col(tb, start, value_col, col))
+            start += int(out[-1][value_col].to_pandas().fillna(0).sum())
+        if not out:
+            sch = mat.schema()
+            base = (sch.base_schema if sch is not None else pa.schema([]))
+            return rd.from_arrow(base.empty_table().append_column(
+                col, pa.array([], pa.int64())))
+        return rd.from_arrow(out)
+    refs = [ref for bundle in mat.iter_internal_ref_bundles()
+            for ref, _meta in bundle.blocks]
+    if not refs:
+        sch = mat.schema()
+        base = (sch.base_schema if sch is not None else pa.schema([]))
+        return rd.from_arrow(base.empty_table().append_column(
+            col, pa.array([], pa.int64())))
+    sums = ray.get([_block_value_sum.remote(r, value_col) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(sums, dtype=np.int64)))
+    stamped = [_stamp_prefix_block.remote(r, int(off), value_col, col)
+               for r, off in zip(refs, offsets[:-1])]
+    return rd.from_arrow_refs(stamped)

@@ -25,7 +25,7 @@ DOC_QUERIES = [
     "normalize_nfc", "host_cap", "cluster_size_histogram",
     "tfidf_top_terms_join", "unigram_doc_logprob_join",
     "host_dup_stats", "quality_prune", "mix_epochs", "contamination_scores",
-    "neardup_contamination", "boilerplate_prune",
+    "neardup_contamination", "boilerplate_prune", "pack_sequences",
 ]
 
 

@@ -105,3 +105,44 @@ def test_grouped_topk_empty(ray_session):
     out = grouped_topk(ds, "g", "val", "doc_id", 2, empty_schema=sch)
     # (same to_pandas-on-empty caveat as test_stamp_empty)
     assert out.count() == 0 and out.schema().names == ["g", "doc_id", "val"]
+
+
+def test_prefix_sum_stamp_distributed_matches_driver(ray_session, rng):
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.stages.ranks import stamp_global_prefix_sums
+    n = 4000
+    keys = rng.permutation(n).astype(np.int64)
+    w = rng.integers(0, 9, n).astype(np.int64)
+    w[::13] = 0                                   # zero weights mid-stream
+    tb = pa.table({"k": keys, "w": pa.array(w).cast(pa.int64())})
+    # nulls must count as 0
+    wn = w.astype(object)
+    wn[::17] = None
+    tb = tb.set_column(1, "w", pa.array(wn.tolist(), pa.int64()))
+    ds = rd.from_arrow(tb).repartition(6).sort("k")
+    a = stamp_global_prefix_sums(ds, "w", col="off", mode="distributed") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    b = stamp_global_prefix_sums(ds, "w", col="off", mode="driver") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert a.equals(b)
+    # exclusive running sum in key order
+    wv = np.nan_to_num(a["w"].to_numpy(dtype=np.float64)).astype(np.int64)
+    assert (a["off"].to_numpy() == np.cumsum(wv) - wv).all()
+
+
+def test_pack_sequences_distributed_matches_driver(ray_session):
+    from fuzzy_matcher_ray.pipelines.textops import pack_sequences
+    dist = pack_sequences(SF, stamp_mode="distributed").to_pandas()
+    drv = pack_sequences(SF, stamp_mode="driver").to_pandas()
+    assert dist.equals(drv) and len(dist) > 500
+    # packing invariants: contiguous full windows; per-doc ranges tile the
+    # doc's token count in order
+    spans = dist.assign(n=dist.tok_end - dist.tok_start)
+    per_seq = spans.groupby("seq_id")["n"].sum().to_numpy()
+    assert (per_seq[:-1] == 64).all() and 0 < per_seq[-1] <= 64
+    for _, g in spans.groupby("doc_id"):
+        g = g.sort_values("seq_id")
+        assert g.tok_start.iloc[0] == 0
+        assert (g.tok_start.to_numpy()[1:] == g.tok_end.to_numpy()[:-1]).all()
+        assert (g.seq_id.to_numpy()[1:] - g.seq_id.to_numpy()[:-1] == 1).all()
