@@ -253,6 +253,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_sketch": ev.value_quantiles_sketch,
         "fingerprint_counts": textops.fingerprint_counts,
         "knn_topk_ivf": knn.knn_topk_ivf,
+        # IVF-Flat with the TRAINED k-means coarse quantizer (cells adapt
+        # to the data where SRP buckets skew); approximate by design,
+        # rows-only — deterministic recall/exactness gates in test_knn
+        "knn_topk_ivf_kmeans":
+            lambda d: knn.knn_topk_ivf_kmeans(d, n_cells=16, nprobe=8),
         # SRP-LSH scale path — approximate by design, rows-only (recall
         # gate + broadcast/join verify parity live in tests/test_knn.py).
         # Contract params are NON-VACUOUS at the driver's sf0.01: threshold

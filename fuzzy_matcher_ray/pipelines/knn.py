@@ -303,6 +303,76 @@ def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, bits: int = 2,
     return _merge_topk(scored, k)
 
 
+def knn_topk_ivf_kmeans(sf_dir: str, n_queries: int = 5, k: int = 5,
+                        n_cells: int = 16, nprobe: int = 4, iters: int = 4,
+                        seed: int = 7):
+    """IVF-Flat ANN: the coarse quantizer is a TRAINED k-means codebook
+    (``pipelines/semantic.kmeans_fit`` — distributed Lloyd, order-free
+    fixed point) instead of ``knn_topk_ivf``'s data-independent hyperplane
+    buckets. Cells adapt to the data distribution, so cell populations stay
+    balanced where SRP buckets skew, and ``n_cells`` / ``nprobe`` tune the
+    recall/cost point directly (the classic IVF knobs). Each query probes
+    its ``nprobe`` nearest cells; the cell is the SHUFFLE key
+    (``groupby(cell)``), and non-probed vectors never enter the shuffle.
+    Approximation is candidate pruning only — every returned cosine is the
+    exact brute-force value (recall gate in tests/test_knn.py)."""
+    from fuzzy_matcher_ray.pipelines.semantic import _fp_rows, kmeans_fit
+
+    ds = _read(sf_dir)
+    c_fp = kmeans_fit(ds, k=n_cells, iters=iters, seed=seed)
+    q_tbl = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q_ids = q_tbl["vec_id"].to_numpy()
+    q_raw = np.stack(q_tbl["embedding"].to_numpy()).astype(np.float64)
+    q_mat = _normalize_rows(q_raw)
+    # per-query nprobe nearest cells by exact int dot (stable → determinist)
+    dots = _fp_rows(q_raw) @ c_fp.T                            # (nq, cells)
+    nprobe = min(nprobe, c_fp.shape[0])
+    probes = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+    cell_queries = {int(c): np.nonzero((probes == c).any(axis=1))[0]
+                    for c in np.unique(probes)}
+    probed = np.array(sorted(cell_queries), dtype=np.int64)
+    ref = ray.put((q_ids, q_mat, c_fp, cell_queries, probed))
+
+    def _keyed(t: pa.Table) -> pa.Table:
+        _, _, cents, _, prb = ray.get(ref)
+        ids, m = _batch_matrix(t)
+        keep = ids >= n_queries
+        ids, m = ids[keep], m[keep]
+        dim = m.shape[1] if len(ids) else q_mat.shape[1]
+        if len(ids) == 0:
+            return pa.table({
+                "cell": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.float64()), dim)})
+        mn = _normalize_rows(m)
+        cells = np.argmax(_fp_rows(m) @ cents.T, axis=1).astype(np.int64)
+        sel = np.isin(cells, prb)           # prune before the shuffle
+        mn, ids, cells = mn[sel], ids[sel], cells[sel]
+        return pa.table({
+            "cell": pa.array(cells),
+            "vec_id": pa.array(ids),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(mn.reshape(-1)), mn.shape[1]),
+        })
+
+    keyed = ds.map_batches(_keyed, batch_format="pyarrow")
+
+    def _score_cell(g: pa.Table) -> pa.Table:
+        qi, qm, _, cq, _ = ray.get(ref)
+        cell = int(g["cell"][0].as_py())
+        q_idx = cq.get(cell)
+        if q_idx is None or len(g) == 0:
+            return _EMPTY_SCORED
+        ids, m = _batch_matrix(g.select(["vec_id", "embedding"]))
+        sims = m @ qm[q_idx].T                                 # (group, nq_c)
+        return _partial_topk(qi[q_idx], ids, sims, k)
+
+    scored = keyed.groupby("cell").map_groups(_score_cell,
+                                              batch_format="pyarrow")
+    return _merge_topk(scored, k)
+
+
 # Verify-side broadcast gate for the SRP-LSH pass: below this many vectors
 # the whole normalized matrix ships once via ray.put and pairs stay 16 B/row
 # through the shuffle; above it vectors are hash-JOINED onto the pairs by id

@@ -207,3 +207,58 @@ def test_embedding_lsh_join_empty_pairs(ray_session, tmp_path):
     # Ray's sort over an all-empty dataset may drop the schema entirely;
     # if columns survive they must be the contract ones
     assert set(out.columns) in (set(), {"a", "b", "cosine"})
+
+
+def test_knn_ivf_kmeans_recall_and_exactness(brute, ray_session):
+    """IVF-Flat with the TRAINED k-means coarse quantizer: recall rises
+    with nprobe (both points deterministic — the whole fit/probe path is
+    order-free fixed point), and every returned cosine is the exact
+    brute-force value (pruning-only approximation). On this near-uniform
+    fixture neighbor signal is weak, so the recall/scan-fraction points
+    are the honest gates: ≥0.6 at 4/16 cells probed, ≥0.8 at 8/16."""
+    from fuzzy_matcher_ray.pipelines.knn import knn_topk_ivf_kmeans
+
+    bset = set(zip(brute["query_id"], brute["neighbor_id"]))
+    nb_want = {(q, n): c for q, n, c in
+               zip(brute["query_id"], brute["neighbor_id"],
+                   brute["cosine"])}
+    recalls = {}
+    for nprobe, gate in [(4, 0.6), (8, 0.8)]:
+        ivf = knn_topk_ivf_kmeans(SF_DIR, n_cells=16, nprobe=nprobe) \
+            .to_pandas()
+        assert set(ivf.columns) == {"query_id", "neighbor_id", "cosine"}
+        for q, n, c in zip(ivf["query_id"], ivf["neighbor_id"],
+                           ivf["cosine"]):
+            if (q, n) in nb_want:           # exact same cosine as brute
+                assert c == nb_want[(q, n)]
+        iset = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+        recalls[nprobe] = len(bset & iset) / len(bset)
+        assert recalls[nprobe] >= gate, (nprobe, recalls[nprobe])
+    assert recalls[8] >= recalls[4]          # more probes never hurt
+
+
+def test_knn_ivf_kmeans_cell_pruning(ray_session):
+    """Every returned neighbor lives in a cell its query probed — the
+    shuffle only ever carried probed-cell vectors."""
+    import pyarrow.parquet as pq
+
+    from fuzzy_matcher_ray.pipelines.knn import (_normalize_rows,
+                                                 knn_topk_ivf_kmeans)
+    from fuzzy_matcher_ray.pipelines.semantic import _fp_rows, kmeans_fit
+    from fuzzy_matcher_ray.pipelines import semantic
+
+    out = knn_topk_ivf_kmeans(SF_DIR, n_cells=16, nprobe=4).to_pandas()
+    c_fp = kmeans_fit(semantic._read(SF_DIR), k=16, iters=4, seed=7)
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    x_fp = _fp_rows(mat)
+    cells = np.argmax(x_fp @ c_fp.T, axis=1)
+    cell_of = dict(zip(ids.tolist(), cells.tolist()))
+    dots = x_fp[ids < 5] @ c_fp.T
+    probes = np.argsort(-dots, axis=1, kind="stable")[:, :4]
+    probed_of = {int(q): set(p.tolist())
+                 for q, p in zip(ids[ids < 5], probes)}
+    for q, n in zip(out["query_id"], out["neighbor_id"]):
+        assert cell_of[n] in probed_of[int(q)]
