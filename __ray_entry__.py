@@ -258,6 +258,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only — deterministic recall/exactness gates in test_knn
         "knn_topk_ivf_kmeans":
             lambda d: knn.knn_topk_ivf_kmeans(d, n_cells=16, nprobe=8),
+        # int8 scalar-quantized embeddings (4x smaller hot set) + the brute
+        # top-k over them; scores approximate by design, rows-only — exact
+        # recompute / recall / error-bound oracles in test_knn
+        "quantize_embeddings": knn.quantize_embeddings,
+        "knn_topk_sq8": knn.knn_topk_sq8,
         # SRP-LSH scale path — approximate by design, rows-only (recall
         # gate + broadcast/join verify parity live in tests/test_knn.py).
         # Contract params are NON-VACUOUS at the driver's sf0.01: threshold

@@ -615,3 +615,68 @@ def embedding_dup_clusters_lsh(sf_dir: str, threshold: float = 0.9,
                                     verify_strategy=verify_strategy) \
         .select_columns(["a", "b"])
     return _clusters_from_pair_graph(sf_dir, edges)
+
+
+def _sq8_rows(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-vector int8 quantization of the row-normalized
+    matrix: scale = max|x|/127 (float64, per row — batch-shape-free),
+    q = rint(x/scale) ∈ [-127, 127]. Zero vectors get scale 0, q 0."""
+    mn = _normalize_rows(m)
+    scale = np.abs(mn).max(axis=1) / 127.0
+    safe = np.where(scale == 0, 1.0, scale)
+    q = np.rint(mn / safe[:, None]).astype(np.int8)
+    return q, scale
+
+
+def quantize_embeddings(sf_dir: str):
+    """(vec_id, q list<int8>, scale) — int8 scalar quantization of the
+    normalized embeddings: the 4×-smaller storage/shuffle representation a
+    10^12-vector corpus keeps hot (float32 originals stay cold). Exact
+    per-row recompute oracle in tests/test_knn.py."""
+    ds = _read(sf_dir)
+
+    def _quant(t: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(t)
+        if len(ids) == 0:
+            return pa.table({
+                "vec_id": pa.array([], pa.int64()),
+                "q": pa.array([], pa.list_(pa.int8())),
+                "scale": pa.array([], pa.float64())})
+        q, scale = _sq8_rows(m)
+        return pa.table({
+            "vec_id": pa.array(ids),
+            "q": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.reshape(-1)), q.shape[1]),
+            "scale": pa.array(scale),
+        })
+
+    return ds.map_batches(_quant, batch_format="pyarrow").sort("vec_id")
+
+
+def knn_topk_sq8(sf_dir: str, n_queries: int = 5, k: int = 5):
+    """Brute-force cosine top-k over int8-QUANTIZED vectors: approx
+    cosine = (q_a·q_b)·scale_a·scale_b with the dot exact in int32 (dim ·
+    127² ≪ 2^31). Same shuffle shape as ``knn_topk`` at a quarter of the
+    bytes — the memory-bandwidth-bound scale path. Scores are approximate
+    (quantization error ≲ 1e-2); the ranking-recall gate lives in
+    tests/test_knn.py."""
+    ds = _read(sf_dir)
+    q_tbl = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
+    q_ids = q_tbl["vec_id"].to_numpy()
+    q_raw = np.stack(q_tbl["embedding"].to_numpy()).astype(np.float64)
+    qq, qs = _sq8_rows(q_raw)
+    ref = ray.put((q_ids, qq.astype(np.int32), qs))
+
+    def _score(t: pa.Table) -> pa.Table:
+        qi, qm32, qsc = ray.get(ref)
+        ids, m = _batch_matrix(t)
+        keep = ids >= n_queries
+        ids, m = ids[keep], m[keep]
+        if len(ids) == 0:
+            return _EMPTY_SCORED
+        bq, bs = _sq8_rows(m)
+        dots = bq.astype(np.int32) @ qm32.T                 # (batch, nq)
+        sims = dots.astype(np.float64) * bs[:, None] * qsc[None, :]
+        return _partial_topk(qi, ids, sims, k)
+
+    return _merge_topk(ds.map_batches(_score, batch_format="pyarrow"), k)

@@ -262,3 +262,39 @@ def test_knn_ivf_kmeans_cell_pruning(ray_session):
                  for q, p in zip(ids[ids < 5], probes)}
     for q, n in zip(out["query_id"], out["neighbor_id"]):
         assert cell_of[n] in probed_of[int(q)]
+
+
+def test_quantize_embeddings_exact_recompute(ray_session):
+    """int8 quantization: exact per-row numpy recompute oracle."""
+    import pyarrow.parquet as pq
+
+    from fuzzy_matcher_ray.pipelines.knn import _sq8_rows, quantize_embeddings
+    out = quantize_embeddings(SF_DIR).to_pandas()
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    q, s = _sq8_rows(mat)
+    order = np.argsort(ids, kind="stable")
+    assert np.array_equal(out["vec_id"].to_numpy(), ids[order])
+    assert np.array_equal(np.stack(out["q"].to_numpy()), q[order])
+    assert np.array_equal(out["scale"].to_numpy(), s[order])
+    assert np.abs(np.stack(out["q"].to_numpy())).max() <= 127
+
+
+def test_knn_sq8_recall_and_error(brute, ray_session):
+    """int8 brute path: ranking recall vs float brute ≥0.9 and the approx
+    cosine within 1e-2 of the exact value on shared rows (deterministic —
+    quantization is per-row, batch-shape-free)."""
+    from fuzzy_matcher_ray.pipelines.knn import knn_topk_sq8
+    sq = knn_topk_sq8(SF_DIR).to_pandas()
+    assert set(sq.columns) == {"query_id", "neighbor_id", "cosine"}
+    bset = set(zip(brute["query_id"], brute["neighbor_id"]))
+    iset = set(zip(sq["query_id"], sq["neighbor_id"]))
+    assert len(bset & iset) / len(bset) >= 0.9
+    nb_want = {(q, n): c for q, n, c in
+               zip(brute["query_id"], brute["neighbor_id"],
+                   brute["cosine"])}
+    for q, n, c in zip(sq["query_id"], sq["neighbor_id"], sq["cosine"]):
+        if (q, n) in nb_want:
+            assert abs(c - nb_want[(q, n)]) <= 1e-2
