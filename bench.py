@@ -220,6 +220,10 @@ def run_bench() -> dict:
     semantic.semdedup_prune(SF_DIR).count()
     queries["semdedup_prune"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    textops.pack_sequences(SF_DIR).count()
+    queries["pack_sequences"] = round(time.perf_counter() - t0, 3)
+
     # incremental fold: +10% increment against the headline corpus's
     # checkpointed artifacts, vs re-running the full pipeline over the
     # concatenation — the InsertEntries value proposition, measured.

@@ -120,7 +120,11 @@ def kmeans_fit(ds, k: int, iters: int = 4, seed: int = 7) -> np.ndarray:
     cluster per dimension (int64 partial sums — order-free) plus a
     (cid, -1, count) row → ``groupby([cid, d]).sum`` combines them →
     k·(dim+1) rows to the driver. A cluster with no members keeps its
-    previous centroid (deterministic)."""
+    previous centroid (deterministic).
+
+    Per-batch partial size is min(batch_rows, k)·(dim+1) rows — the
+    combiner exchange, not the data; at very large k raise ``batch_size``
+    so batches amortize the per-present-cluster rows."""
     ids0, x0 = _init_sample(ds, k, seed)
     k = min(k, len(ids0))
     if k == 0:
