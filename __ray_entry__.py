@@ -91,6 +91,7 @@ def _dedup_sharded(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.pipelines import bpe as _bpe
     from fuzzy_matcher_ray.pipelines import events as ev
     from fuzzy_matcher_ray.pipelines import (analytics, knn, multimodal,
                                              relevance, semantic, textops,
@@ -281,6 +282,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and greedy-oracle parity in tests/test_semantic.py
         "semantic_clusters": semantic.semantic_clusters,
         "semdedup_prune": semantic.semdedup_prune,
+        # distributed BPE: merge learning is iterative (one pair-count
+        # aggregate per merge) — not SQL-expressible; rows-only here, exact
+        # pure-Python reference-implementation + driver/distributed twin
+        # parity in tests/test_bpe.py (the word-count pass IS SQL-checked
+        # there via DuckDB)
+        "bpe_merges": lambda d: _bpe.bpe_train(d, n_merges=32),
+        "bpe_token_counts": lambda d: _bpe.bpe_token_counts(d, n_merges=32),
         # --- multimodal (REAL WAV/PPM/PNG/baseline-JPEG decode, pytest
         #     round-trip oracles; only MP3/H.264 remain honestly stubbed) ---
         "multimodal_decode": multimodal.decode_binary_docs,

@@ -224,6 +224,14 @@ def run_bench() -> dict:
     textops.pack_sequences(SF_DIR).count()
     queries["pack_sequences"] = round(time.perf_counter() - t0, 3)
 
+    from fuzzy_matcher_ray.pipelines import bpe
+    t0 = time.perf_counter()
+    merges = bpe.bpe_train(SF_DIR, n_merges=32)
+    queries["bpe_train_32"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    bpe.bpe_token_counts(SF_DIR, merges=merges).count()
+    queries["bpe_token_counts"] = round(time.perf_counter() - t0, 3)
+
     # incremental fold: +10% increment against the headline corpus's
     # checkpointed artifacts, vs re-running the full pipeline over the
     # concatenation — the InsertEntries value proposition, measured.
