@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.pipelines import bpe as _bpe
     from fuzzy_matcher_ray.pipelines import events as ev
+    from fuzzy_matcher_ray.pipelines import graph as _graph
     from fuzzy_matcher_ray.pipelines import (analytics, knn, multimodal,
                                              relevance, semantic, textops,
                                              webtext)
@@ -289,6 +290,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # there via DuckDB)
         "bpe_merges": lambda d: _bpe.bpe_train(d, n_merges=32),
         "bpe_token_counts": lambda d: _bpe.bpe_token_counts(d, n_merges=32),
+        # link-graph PageRank over the synthetic crawl's extracted hrefs
+        # (host/page quality prior) — iterative, not SQL-expressible;
+        # rows-only, exact driver/distributed twin + float-reference +
+        # href-extraction oracles in tests/test_graph.py
+        "link_pagerank": _graph.link_pagerank,
         # --- multimodal (REAL WAV/PPM/PNG/baseline-JPEG decode, pytest
         #     round-trip oracles; only MP3/H.264 remain honestly stubbed) ---
         "multimodal_decode": multimodal.decode_binary_docs,
