@@ -301,6 +301,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_media_decode": multimodal.decode_media_docs,
         "multimodal_resize": multimodal.resize_media_docs,
         "multimodal_frames": multimodal.frame_media_docs,
+        # perceptual image dedup: dHash over the REAL decoders + Manku
+        # block-combination banding + exact Hamming verify + union-find.
+        # Hash values depend on the decode kernels ⇒ rows-only; planted
+        # recall/precision-1.0 and kernel oracles in tests/test_image_dedup
+        "image_dhash": multimodal.image_dhash,
+        "image_dup_pairs": multimodal.image_dup_pairs,
+        "image_dup_clusters": multimodal.image_dup_clusters,
     }
 
 

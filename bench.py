@@ -237,6 +237,11 @@ def run_bench() -> dict:
     graph.link_pagerank(SF_DIR, n_docs=20_000, seed=7).count()
     queries["link_pagerank_20k"] = round(time.perf_counter() - t0, 3)
 
+    from fuzzy_matcher_ray.pipelines import multimodal
+    t0 = time.perf_counter()
+    multimodal.image_dup_clusters(SF_DIR).count()
+    queries["image_dup_clusters"] = round(time.perf_counter() - t0, 3)
+
     # incremental fold: +10% increment against the headline corpus's
     # checkpointed artifacts, vs re-running the full pipeline over the
     # concatenation — the InsertEntries value proposition, measured.

@@ -261,6 +261,44 @@ def ppm_mean_luma(pixels: np.ndarray) -> float:
                          + 0.114 * p[..., 2]))
 
 
+def box_mean_gray(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """(h, w[, 3]) uint8 pixels → (out_h, out_w) float64 cell means of the
+    Rec.601 luma, cells = the standard box partition (bounds ⌊i·dim/out⌋).
+
+    Area averaging (not nearest-sampling) is what makes the perceptual
+    hash stable under resizes and codec noise: every source pixel
+    contributes to exactly one cell, so a resampled image produces nearly
+    the same cell means. Exact float64 sums over integer luma inputs —
+    deterministic across batch layouts.
+    """
+    if pixels.ndim == 3:
+        p = pixels.astype(np.float64)
+        g = 0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]
+    else:
+        g = pixels.astype(np.float64)
+    h, w = g.shape
+    yb = (np.arange(out_h + 1) * h) // out_h
+    xb = (np.arange(out_w + 1) * w) // out_w
+    # integral image: box sums in O(1) per cell, exact float64 over ≤255
+    # inputs (far inside the 2^53 mantissa)
+    ii = np.zeros((h + 1, w + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(g, axis=0), axis=1, out=ii[1:, 1:])
+    sums = (ii[yb[1:, None], xb[None, 1:]] - ii[yb[:-1, None], xb[None, 1:]]
+            - ii[yb[1:, None], xb[None, :-1]]
+            + ii[yb[:-1, None], xb[None, :-1]])
+    areas = ((yb[1:] - yb[:-1])[:, None] * (xb[1:] - xb[:-1])[None, :])
+    return sums / np.maximum(areas, 1)
+
+
+def dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash (dHash): 9×8 luma box means, bit = left cell
+    brighter than its right neighbor, row-major bit order. The standard
+    public perceptual-hash construction (gradient hash)."""
+    g = box_mean_gray(pixels, 9, 8)
+    bits = (g[:, :-1] > g[:, 1:]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
 def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize of (h, w, 3) uint8 pixels to (out_h, out_w, 3).
 

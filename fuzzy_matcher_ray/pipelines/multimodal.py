@@ -18,6 +18,7 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from fuzzy_matcher_ray.functions.shingle import splitmix64, string_buffer
@@ -351,3 +352,193 @@ def frame_media_docs(sf_dir: str, win_ms: int = 25, hop_ms: int = 100):
         AudioFramer, fn_constructor_args=(win_ms, hop_ms),
         batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
     return out.sort(["doc_id", "frame_idx"])
+
+
+# ---------------------------------------------------------------------------
+# perceptual image dedup: dHash over the real decoders + Hamming banding
+# ---------------------------------------------------------------------------
+
+def synth_image_payload(doc_id: int) -> bytes:
+    """Deterministic image payload per doc id with PLANTED near-dup
+    clusters: docs in the same group of four (``doc_id // 4``) whose group
+    index is even share one smooth base image and differ only by encoding —
+    member 0 PPM at native size, member 1 PNG of the SAME pixels (pixel-
+    identical ⇒ dHash-identical), member 2 box-resized to ~80% then
+    PPM-encoded (near), member 3 a baseline-JPEG re-encode (near). Odd
+    groups are four unrelated images. Base images are random coarse grids
+    upsampled bilinearly — smooth at pixel scale (so resize/codec noise
+    survives the hash: dHash of white noise is meaningless at ANY scale)
+    yet random at the 8×8 hash-cell scale (so unrelated images land far
+    apart in Hamming space)."""
+    from fuzzy_matcher_ray.functions import jpeg, media
+    group, member = doc_id // 4, doc_id % 4
+    # disjoint seed spaces: an even group's shared base must never equal
+    # an odd-group member whose doc_id happens to match the group index
+    seed = (group << 1) if group % 2 == 0 else ((doc_id << 1) | 1)
+    h = int(splitmix64(np.array([seed], dtype=np.uint64))[0])
+    # dims divisible by 45×40 factors so the 9×8 hash partition, the 4/5
+    # resize partition and the cell grid all align exactly (the resized
+    # member's cell means then equal the base's — no boundary mixing)
+    w, ht = 45 * (1 + h % 2), 40 * (1 + (h >> 8) % 2)
+    # 8×9 random luma grid — one cell per dHash cell, upsampled piecewise-
+    # constant on EXACTLY the hash kernel's box partition (bounds
+    # ⌊r·dim/8⌋), so the base image's cell means equal the grid values.
+    # Levels are 25 apart with a +12 checkerboard, so horizontally
+    # adjacent cells ALWAYS differ by ≥ 12 luma — resize/codec noise
+    # (≪ 12 here) cannot flip a hash bit, while per-cell randomness keeps
+    # unrelated images ~32 bits apart.
+    stream = splitmix64(np.uint64(seed & 0xFFFFFFFF) * np.uint64(2654435761)
+                        + np.arange(72, dtype=np.uint64))
+    levels = (stream % np.uint64(10)).astype(np.float64).reshape(8, 9)
+    checker = (np.add.outer(np.arange(8), np.arange(9)) % 2) * 12.0
+    if group % 2 == 0 and member == 3:
+        # the "slightly edited re-crawl" member: one interior cell's level
+        # shifts — at most the cell's two horizontal comparisons flip, so
+        # the planted Hamming distance is in [0, 2] (a TRUE near-dup, not
+        # an exact hash twin like the PNG/resize members)
+        r3, c3 = 1 + (h >> 16) % 6, 1 + (h >> 20) % 7
+        levels[r3, c3] = (levels[r3, c3] + 5) % 10
+    coarse = levels * 25.0 + 5.0 + checker
+    row_of = (np.arange(ht) * 8) // ht
+    col_of = (np.arange(w) * 9) // w
+    lum = coarse[row_of[:, None], col_of[None, :]]
+    # channels: monotone per-channel transforms of the SAME field (no
+    # spatial shift — a shifted channel would decouple the Rec.601 luma
+    # from the planted cell structure)
+    px = np.clip(np.stack([lum, lum * 0.95 + 8.0, lum * 0.9 + 16.0],
+                          axis=-1), 0, 255).astype(np.uint8)
+    if group % 2 == 1:                       # unrelated image per member
+        return media.make_ppm(px)
+    if member == 0:
+        return media.make_ppm(px)
+    if member == 1:
+        return media.make_png(px)
+    if member == 2:
+        ow, oh = (w * 4) // 5, (ht * 4) // 5
+        small = np.empty((oh, ow, 3), dtype=np.uint8)
+        for c in range(3):
+            small[..., c] = np.clip(media.box_mean_gray(
+                px[..., c], ow, oh), 0, 255).astype(np.uint8)
+        return media.make_ppm(small)
+    return jpeg.make_jpeg(px, quality=90)
+
+
+class ImageHasher:
+    """Actor-pool perceptual-hash stage: image payload → (doc_id,
+    dhash: int64). Decoders built once per actor; per-payload decode is
+    inherent (same honest cost as MediaDecoder); the hash kernel itself is
+    one vectorized integral-image pass (functions/media.dhash64).
+    Non-image / malformed payloads are dead-lettered with a null hash."""
+
+    def __init__(self):
+        from fuzzy_matcher_ray.functions import jpeg, media
+        self.media = media
+        self.jpeg = jpeg
+
+    def _one(self, buf: bytes):
+        m = self.media
+        try:
+            if buf.startswith(m.PPM_MAGIC):
+                px = m.parse_ppm(buf)["pixels"]
+            elif buf.startswith(m.PNG_MAGIC):
+                px = m.parse_png(buf)["pixels"]
+            elif buf.startswith(self.jpeg.JPEG_MAGIC):
+                px = self.jpeg.parse_jpeg(buf)["pixels"]
+            else:
+                return None
+            return np.int64(np.uint64(m.dhash64(px)))
+        except (ValueError, struct.error):
+            return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        hashes = [self._one(b.as_py() or b"") for b in payload]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "dhash": pa.array(hashes, pa.int64())})
+
+
+def _image_payload_ds(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _attach(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array([synth_image_payload(int(i)) for i in ids],
+                                pa.binary()),
+        })
+
+    return ds.map_batches(_attach, batch_format="pyarrow")
+
+
+def image_dhash(sf_dir: str):
+    """(doc_id, dhash) over the synthesized image column — the perceptual
+    fingerprint pass every image-dedup pipeline runs first."""
+    out = _image_payload_ds(sf_dir).map_batches(
+        ImageHasher, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4))
+    return out.sort("doc_id")
+
+
+def image_dup_pairs(sf_dir: str, max_hamming: int = 3, _sorted: bool = True):
+    """Perceptual near-dup image pairs: dHash + Manku block-combination
+    banding + exact Hamming verify.
+
+    Complete for Hamming ≤ 3 by the same pigeonhole guarantee as the text
+    SimHash pass (functions/simhash.simhash_combo_keys: 6 pieces choose 3
+    ⇒ any ≤3-bit damage leaves one combination key intact); candidates
+    co-locate via the shared skew-capped pair machinery and are verified
+    with the vectorized SWAR popcount. Wide payloads never shuffle — only
+    slim (combo, key, doc_id, dhash) rows leave the hash stage.
+    """
+    from dataclasses import replace
+
+    from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.functions.simhash import (hamming64,
+                                                     simhash_combo_keys)
+    from fuzzy_matcher_ray.stages.candidates import key_pairs
+    if max_hamming > 3:
+        raise ValueError("banding guarantees completeness only to 3 bits")
+
+    hashed = image_dhash(sf_dir)
+
+    def _bands(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["dhash"]))
+        sim = t["dhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        keys, n_combos = simhash_combo_keys(sim, r=3)
+        n = len(sim)
+        return pa.table({
+            "combo": pa.array(np.repeat(np.arange(n_combos, dtype=np.int8),
+                                        n)),
+            "key": pa.array(keys.T.ravel().view(np.int64)),
+            "doc_id": pa.array(np.tile(
+                t["doc_id"].to_numpy(zero_copy_only=False), n_combos)),
+            "dhash": pa.array(np.tile(sim.view(np.int64), n_combos)),
+        })
+
+    rows = hashed.map_batches(_bands, batch_format="pyarrow")
+
+    def _hamming_filter(t: pa.Table) -> pa.Table:
+        d = hamming64(
+            t["dhash_a"].to_numpy(zero_copy_only=False).view(np.uint64),
+            t["dhash_b"].to_numpy(zero_copy_only=False).view(np.uint64))
+        return t.filter(pa.array(d <= max_hamming))
+
+    out = key_pairs(rows, ["combo", "key"],
+                    replace(PipelineConfig(), max_band_group=1 << 30),
+                    carry_cols=["dhash"], pair_filter=_hamming_filter)
+    return out.sort(["a", "b"]) if _sorted else out
+
+
+def image_dup_clusters(sf_dir: str, max_hamming: int = 3):
+    """Connected components over the perceptual pair graph — the image
+    analogue of the text flagship's (doc_id, cluster_id) contract
+    (singletons keep their own id)."""
+    from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.stages.cluster import cluster_edges
+    edges = image_dup_pairs(sf_dir, max_hamming, _sorted=False)
+    nodes = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    return cluster_edges(edges, nodes, PipelineConfig()).sort("doc_id")
