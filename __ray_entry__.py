@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fuzzy_matcher_ray.pipelines import bpe as _bpe
     from fuzzy_matcher_ray.pipelines import events as ev
     from fuzzy_matcher_ray.pipelines import graph as _graph
+    from fuzzy_matcher_ray.pipelines import langid as _langid
     from fuzzy_matcher_ray.pipelines import (analytics, knn, multimodal,
                                              relevance, semantic, textops,
                                              webtext)
@@ -308,6 +309,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash": multimodal.image_dhash,
         "image_dup_pairs": multimodal.image_dup_pairs,
         "image_dup_clusters": multimodal.image_dup_clusters,
+        # trained Cavnar–Trenkle n-gram language-ID (profiles fit from the
+        # corpus's own labels, out-of-place rank distance) — classifier
+        # output isn't SQL-expressible; rows-only, planted disjoint-
+        # alphabet + independent-reference oracles in tests/test_langid
+        "langid_classify": _langid.langid_classify,
+        "langid_report": _langid.langid_report,
     }
 
 

@@ -242,6 +242,11 @@ def run_bench() -> dict:
     multimodal.image_dup_clusters(SF_DIR).count()
     queries["image_dup_clusters"] = round(time.perf_counter() - t0, 3)
 
+    from fuzzy_matcher_ray.pipelines import langid
+    t0 = time.perf_counter()
+    langid.langid_report(SF_DIR).count()
+    queries["langid_report"] = round(time.perf_counter() - t0, 3)
+
     # incremental fold: +10% increment against the headline corpus's
     # checkpointed artifacts, vs re-running the full pipeline over the
     # concatenation — the InsertEntries value proposition, measured.
