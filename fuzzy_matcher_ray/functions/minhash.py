@@ -74,3 +74,49 @@ def band_hashes(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
     # mix band index in so identical row-content in different bands differs
     h = splitmix64(h ^ np.arange(bands, dtype=np.uint64)[None, :])
     return h
+
+
+def lsh_collision_prob(s: float, bands: int, rows: int) -> float:
+    """P(candidate | Jaccard s) for (bands, rows) banding: 1-(1-s^r)^b —
+    the standard S-curve (MMDS ch.3, public formulation)."""
+    return 1.0 - (1.0 - s ** rows) ** bands
+
+
+def tune_lsh(threshold: float, num_perms: int = 128,
+             fn_weight: float = 10.0, grid: int = 200
+             ) -> tuple[int, int, dict]:
+    """Pick (bands, rows) for ``num_perms`` minimizing the integrated
+    banding risk around ``threshold``.
+
+    Risk = ∫₀ᵗ P(s) ds  +  fn_weight · ∫ₜ¹ (1 − P(s)) ds — false-candidate
+    area below the threshold (wasted verify work: cheap, each candidate is
+    one vectorized Jaccard) plus missed-pair area above it (recall loss:
+    expensive, weighted ``fn_weight``× because the north rule demands
+    dup-pair recall ≥ 0.99). Deterministic midpoint quadrature on a fixed
+    grid; ties prefer more bands (recall). Returns (bands, rows,
+    diagnostics) with the achieved curve points; the config default
+    (16, 8) at 128 perms is exactly what this picks at the flagship's
+    jaccard_threshold = 0.8 — asserted in tests so the tuner and the
+    shipped default cannot drift apart silently.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for rows in range(1, num_perms + 1):
+        if num_perms % rows:
+            continue
+        bands = num_perms // rows
+        ss = (np.arange(grid) + 0.5) / grid
+        p = 1.0 - (1.0 - ss ** rows) ** bands
+        below = ss < threshold
+        fp = p[below].sum() / grid
+        fn = (1.0 - p[~below]).sum() / grid
+        risk = fp + fn_weight * fn
+        key = (risk, -bands)
+        if best is None or key < best[0]:
+            best = (key, bands, rows, {"fp_area": float(fp),
+                                       "fn_area": float(fn),
+                                       "risk": float(risk)})
+    _, bands, rows, diag = best
+    diag["p_at_threshold"] = lsh_collision_prob(threshold, bands, rows)
+    return bands, rows, diag

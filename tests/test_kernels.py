@@ -257,3 +257,32 @@ def test_confusable_levenshtein_costs():
     d = levenshtein_batch(["vase", "abc"], ["uase", "xbc"], ct, 0.25)
     assert d[0] == 0.25          # v↔u confusable
     assert d[1] == 1.0           # a↔x is not
+
+
+def test_tune_lsh_picks_config_default_at_flagship_threshold():
+    """(bands, rows) = (16, 8) at 128 perms and threshold 0.8 — the
+    BASELINE.json signature config must be the tuner's own optimum, and
+    PipelineConfig must agree (drift in any of the three fails here)."""
+    from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.functions.minhash import (lsh_collision_prob,
+                                                     tune_lsh)
+    cfg = PipelineConfig()
+    b, r, diag = tune_lsh(cfg.jaccard_threshold, num_perms=cfg.num_perms)
+    assert (b, r) == (cfg.bands, cfg.rows_per_band) == (16, 8)
+    assert diag["p_at_threshold"] == lsh_collision_prob(0.8, 16, 8)
+    assert diag["p_at_threshold"] > 0.9          # recall-side of the curve
+
+
+def test_tune_lsh_monotone_and_bounds():
+    """Higher thresholds prefer more rows per band (sharper curves
+    further right); risk integrand areas are valid probabilities."""
+    from fuzzy_matcher_ray.functions.minhash import tune_lsh
+    rows_picked = [tune_lsh(t)[1] for t in (0.3, 0.5, 0.8, 0.9)]
+    assert rows_picked == sorted(rows_picked)
+    for t in (0.3, 0.9):
+        b, r, d = tune_lsh(t)
+        assert b * r == 128
+        assert 0 <= d["fp_area"] <= 1 and 0 <= d["fn_area"] <= 1
+    import pytest
+    with pytest.raises(ValueError):
+        tune_lsh(1.0)
