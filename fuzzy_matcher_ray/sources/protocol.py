@@ -61,3 +61,47 @@ def webpages_source(path: str, extract_html: bool = False):
                          "lang": t["lang"], "warc_ts": t["warc_ts"]})
 
     return ds.map_batches(_adapt, batch_format="pyarrow")
+
+
+def _canonical_adapt(ds):
+    """Any (text [, url, lang]) Dataset → canonical docs: missing lang
+    becomes "und"; missing url gets a content-addressed surrogate; doc_id
+    is the 63-bit url hash (the same surrogate rule as webpages_source, so
+    identical inputs get identical ids across source formats)."""
+    from fuzzy_matcher_ray.functions.fingerprint import content_hash
+
+    def _adapt(t: pa.Table) -> pa.Table:
+        names = set(t.column_names)
+        text = pc.cast(t["text"], pa.string()) if "text" in names else \
+            pa.nulls(t.num_rows, pa.string())
+        if "url" in names:
+            url = pc.cast(t["url"], pa.string())
+        else:
+            th = content_hash(pc.fill_null(text, "").combine_chunks()
+                              if isinstance(text, pa.ChunkedArray) else
+                              pc.fill_null(text, ""))
+            url = pc.binary_join_element_wise(
+                pa.array(["content://"] * t.num_rows),
+                pc.cast(pa.array(th.astype("int64")), pa.string()), "")
+        lang = (pc.cast(t["lang"], pa.string()) if "lang" in names
+                else pa.array(["und"] * t.num_rows, pa.string()))
+        u = url.combine_chunks() if isinstance(url, pa.ChunkedArray) else url
+        doc_id = pa.array((content_hash(u) >> 1).astype("int64"))
+        return pa.table({"doc_id": doc_id, "url": url,
+                         "text": text, "lang": lang})
+
+    return ds.map_batches(_adapt, batch_format="pyarrow")
+
+
+def jsonl_source(path: str):
+    """JSON-lines corpus → canonical docs (the wire format CC-derived text
+    dumps and the reference's own test corpora use —
+    tests/example_members_test.go:50-64 reads JSON; Ray's streaming JSON
+    reader shards files exactly like the parquet path)."""
+    return _canonical_adapt(rd.read_json(path))
+
+
+def csv_source(path: str):
+    """CSV corpus → canonical docs (same adaptation; header row defines
+    the columns, ``text`` required, ``url``/``lang`` optional)."""
+    return _canonical_adapt(rd.read_csv(path))
