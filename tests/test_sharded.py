@@ -158,3 +158,23 @@ def test_sharded_cli(tmp_path):
                           cwd=cwd)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert pq.read_table(out).num_rows == 230
+
+
+def test_sharded_truncated_shard_list_fails_with_intent(ray_session,
+                                                        tmp_path):
+    """Re-running against a longer completed chain's state_root with a
+    TRUNCATED shard list must raise the explanatory ValueError, not an
+    opaque missing-parquet read error (round-3 advice item)."""
+    import pytest
+    import ray.data as rd
+    from fuzzy_matcher_ray.pipelines.dedup import dedup_sharded
+
+    cfg = PipelineConfig()
+    tbls = [_docs_tbl(120, seed=71, id_offset=0),
+            _docs_tbl(100, seed=72, id_offset=1_000_000),
+            _docs_tbl(80, seed=73, id_offset=2_000_000)]
+    shards = [(f"s{i}", rd.from_arrow(t)) for i, t in enumerate(tbls)]
+    root = str(tmp_path / "state")
+    dedup_sharded(shards, root, cfg).materialize()
+    with pytest.raises(ValueError, match="LONGER completed"):
+        dedup_sharded(shards[:2], root, cfg)

@@ -620,3 +620,27 @@ def test_mix_epochs_copy_structure(ray_session, tmp_path):
         + (1 if ((i % 7) % 3 == 0
                  and (i * 2654435761) % 1000000007 % 10 < 5) else 0)
         for i in range(n))
+
+
+def test_mg_sketch_nul_tokens_excluded_not_folded(ray_session, tmp_path):
+    """A document containing the literal reserved-delta token (or any
+    NUL-bearing token) must be EXCLUDED from the gram support before
+    sketching — never silently folded into err_bound (round-3 advice)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from fuzzy_matcher_ray.pipelines.webtext import top_ngrams_sketch
+
+    texts = ["alpha beta alpha", "alpha \x00__MG_DELTA__ beta",
+             "gamma \x00evil alpha"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array(texts, pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    out = top_ngrams_sketch(str(tmp_path), gram_n=1, k=10,
+                            counters=64).to_pandas()
+    assert not out.gram.str.contains("\x00").any()
+    row = out[out.gram == "alpha"]
+    # large budget ⇒ exact: 4 alphas, and err_bound 0 (no compression,
+    # no NUL mass leaked into the offsets)
+    assert row.n_approx.iloc[0] == 4
+    assert row.err_bound.iloc[0] == 0
