@@ -309,6 +309,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash": multimodal.image_dhash,
         "image_dup_pairs": multimodal.image_dup_pairs,
         "image_dup_clusters": multimodal.image_dup_clusters,
+        # audio fingerprint dedup: 65-segment energy-envelope hash over
+        # the real WAV decoder through the SAME shared banding machinery;
+        # rows-only, planted gain/resample-invariance oracles in
+        # tests/test_audio_dedup
+        "audio_fingerprint": multimodal.audio_fingerprint,
+        "audio_dup_clusters": multimodal.audio_dup_clusters,
         # trained Cavnar–Trenkle n-gram language-ID (profiles fit from the
         # corpus's own labels, out-of-place rank distance) — classifier
         # output isn't SQL-expressible; rows-only, planted disjoint-

@@ -247,6 +247,10 @@ def run_bench() -> dict:
     langid.langid_report(SF_DIR).count()
     queries["langid_report"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    multimodal.audio_dup_clusters(SF_DIR).count()
+    queries["audio_dup_clusters"] = round(time.perf_counter() - t0, 3)
+
     # incremental fold: +10% increment against the headline corpus's
     # checkpointed artifacts, vs re-running the full pipeline over the
     # concatenation — the InsertEntries value proposition, measured.

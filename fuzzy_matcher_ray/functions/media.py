@@ -299,6 +299,31 @@ def dhash64(pixels: np.ndarray) -> int:
     return int(np.packbits(bits).view(">u8")[0])
 
 
+def envelope_hash64(samples: np.ndarray, n_seg: int = 65) -> int:
+    """64-bit audio fingerprint: RMS energy over 65 equal time segments
+    (box partition ⌊i·n/65⌋), bit = segment louder than its successor.
+
+    The energy-envelope difference hash — the audio analogue of the image
+    dHash (adjacent-sign coding of a coarse perceptual profile, the same
+    public construction family as Chromaprint's band-energy differences).
+    Invariant by construction to positive amplitude scaling (signs of
+    differences survive any monotone gain) and stable under resampling
+    (per-segment RMS is a time-normalized quantity). Exact float64 sums
+    of int32 squares — deterministic."""
+    x = samples.astype(np.float64)
+    n = len(x)
+    if n < n_seg:
+        x = np.pad(x, (0, n_seg - n))
+        n = n_seg
+    bounds = (np.arange(n_seg + 1) * n) // n_seg
+    csq = np.zeros(n + 1, dtype=np.float64)
+    np.cumsum(x * x, out=csq[1:])
+    energy = csq[bounds[1:]] - csq[bounds[:-1]]
+    ms = energy / np.maximum(bounds[1:] - bounds[:-1], 1)
+    bits = ms[:-1] > ms[1:]
+    return int(np.packbits(bits).view(">u8")[0])
+
+
 def resize_nearest(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize of (h, w, 3) uint8 pixels to (out_h, out_w, 3).
 

@@ -482,16 +482,18 @@ def image_dhash(sf_dir: str):
     return out.sort("doc_id")
 
 
-def image_dup_pairs(sf_dir: str, max_hamming: int = 3, _sorted: bool = True):
-    """Perceptual near-dup image pairs: dHash + Manku block-combination
-    banding + exact Hamming verify.
+def hamming_dup_pairs(hashed, hash_col: str, max_hamming: int = 3,
+                      _sorted: bool = True):
+    """Near-dup pairs of any 64-bit perceptual-hash column: Manku
+    block-combination banding + exact Hamming verify.
 
     Complete for Hamming ≤ 3 by the same pigeonhole guarantee as the text
     SimHash pass (functions/simhash.simhash_combo_keys: 6 pieces choose 3
     ⇒ any ≤3-bit damage leaves one combination key intact); candidates
     co-locate via the shared skew-capped pair machinery and are verified
     with the vectorized SWAR popcount. Wide payloads never shuffle — only
-    slim (combo, key, doc_id, dhash) rows leave the hash stage.
+    slim (combo, key, doc_id, hash) rows leave the hash stage. Shared by
+    the image-dHash and audio-envelope dedup tiers.
     """
     from dataclasses import replace
 
@@ -502,11 +504,9 @@ def image_dup_pairs(sf_dir: str, max_hamming: int = 3, _sorted: bool = True):
     if max_hamming > 3:
         raise ValueError("banding guarantees completeness only to 3 bits")
 
-    hashed = image_dhash(sf_dir)
-
     def _bands(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t["dhash"]))
-        sim = t["dhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        t = t.filter(pc.is_valid(t[hash_col]))
+        sim = t[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
         keys, n_combos = simhash_combo_keys(sim, r=3)
         n = len(sim)
         return pa.table({
@@ -515,21 +515,28 @@ def image_dup_pairs(sf_dir: str, max_hamming: int = 3, _sorted: bool = True):
             "key": pa.array(keys.T.ravel().view(np.int64)),
             "doc_id": pa.array(np.tile(
                 t["doc_id"].to_numpy(zero_copy_only=False), n_combos)),
-            "dhash": pa.array(np.tile(sim.view(np.int64), n_combos)),
+            "phash": pa.array(np.tile(sim.view(np.int64), n_combos)),
         })
 
     rows = hashed.map_batches(_bands, batch_format="pyarrow")
 
     def _hamming_filter(t: pa.Table) -> pa.Table:
         d = hamming64(
-            t["dhash_a"].to_numpy(zero_copy_only=False).view(np.uint64),
-            t["dhash_b"].to_numpy(zero_copy_only=False).view(np.uint64))
+            t["phash_a"].to_numpy(zero_copy_only=False).view(np.uint64),
+            t["phash_b"].to_numpy(zero_copy_only=False).view(np.uint64))
         return t.filter(pa.array(d <= max_hamming))
 
     out = key_pairs(rows, ["combo", "key"],
                     replace(PipelineConfig(), max_band_group=1 << 30),
-                    carry_cols=["dhash"], pair_filter=_hamming_filter)
+                    carry_cols=["phash"], pair_filter=_hamming_filter)
     return out.sort(["a", "b"]) if _sorted else out
+
+
+def image_dup_pairs(sf_dir: str, max_hamming: int = 3, _sorted: bool = True):
+    """Perceptual near-dup image pairs: dHash through the shared
+    Hamming-banding machinery (``hamming_dup_pairs``)."""
+    return hamming_dup_pairs(image_dhash(sf_dir), "dhash", max_hamming,
+                             _sorted)
 
 
 def image_dup_clusters(sf_dir: str, max_hamming: int = 3):
@@ -539,6 +546,110 @@ def image_dup_clusters(sf_dir: str, max_hamming: int = 3):
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.stages.cluster import cluster_edges
     edges = image_dup_pairs(sf_dir, max_hamming, _sorted=False)
+    nodes = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id"])
+    return cluster_edges(edges, nodes, PipelineConfig()).sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint dedup: energy-envelope hash over the real WAV decoder
+# ---------------------------------------------------------------------------
+
+def synth_audio_payload(doc_id: int) -> bytes:
+    """Deterministic WAV payload per doc id with PLANTED near-dup
+    clusters (the audio twin of ``synth_image_payload``): even groups of
+    four share one 65-segment amplitude envelope — member 0 the base
+    tone, member 1 gain-scaled ×0.5 (envelope-hash invariant), member 2
+    resampled 2× by linear interpolation (invariant: per-segment RMS is
+    time-normalized and the box partitions align at 2n), member 3 a
+    one-segment amplitude edit (true Hamming ≤ 2). Odd groups are four
+    unrelated envelopes. Amplitudes use gapped levels (+ an alternating
+    offset) so adjacent segments can never tie — codec/rounding noise
+    cannot flip a bit."""
+    from fuzzy_matcher_ray.functions import media
+    group, member = doc_id // 4, doc_id % 4
+    seed = (group << 1) if group % 2 == 0 else ((doc_id << 1) | 1)
+    stream = splitmix64(np.uint64(seed & 0xFFFFFFFF) * np.uint64(0x9E3779B1)
+                        + np.arange(65, dtype=np.uint64))
+    levels = (stream % np.uint64(10)).astype(np.float64)
+    if group % 2 == 0 and member == 3:
+        i3 = 1 + int(stream[0] >> np.uint64(32)) % 63
+        levels[i3] = (levels[i3] + 5) % 10
+    amps = levels * 700.0 + 500.0 + (np.arange(65) % 2) * 350.0
+    seg_len, rate = 64, 8000
+    n = 65 * seg_len
+    t = np.arange(n, dtype=np.float64)
+    carrier = np.sin(2 * np.pi * t / 16.0)        # 4 full periods / segment
+    samples = (np.repeat(amps, seg_len) * carrier)
+    if group % 2 == 0 and member == 1:
+        samples = samples * 0.5
+    if group % 2 == 0 and member == 2:
+        up = np.empty(2 * n, dtype=np.float64)
+        up[0::2] = samples
+        up[1::2] = (samples + np.append(samples[1:], samples[-1])) / 2.0
+        samples, rate = up, 16000
+    return media.make_wav(samples.astype(np.int16), rate)
+
+
+class AudioHasher:
+    """Actor-pool fingerprint stage: WAV payload → (doc_id, ahash: int64)
+    via the 65-segment energy-envelope hash. Non-WAV / malformed payloads
+    dead-letter with a null hash."""
+
+    def __init__(self):
+        from fuzzy_matcher_ray.functions import media
+        self.media = media
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.media
+        payload = batch["payload"]
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        out = []
+        for b in payload:
+            buf = b.as_py() or b""
+            if not buf.startswith(m.WAV_MAGIC):
+                out.append(None)
+                continue
+            try:
+                w = m.parse_wav(buf)
+                out.append(np.int64(np.uint64(
+                    m.envelope_hash64(w["samples"]))))
+            except (ValueError, struct.error):
+                out.append(None)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "ahash": pa.array(out, pa.int64())})
+
+
+def audio_fingerprint(sf_dir: str):
+    """(doc_id, ahash) over the synthesized audio column."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def _attach(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array([synth_audio_payload(int(i)) for i in ids],
+                                pa.binary())})
+
+    return ds.map_batches(_attach, batch_format="pyarrow") \
+        .map_batches(AudioHasher, batch_format="pyarrow", batch_size=256,
+                     concurrency=(1, 4)).sort("doc_id")
+
+
+def audio_dup_pairs(sf_dir: str, max_hamming: int = 3, _sorted: bool = True):
+    """Audio near-dup pairs: envelope hash through the shared
+    Hamming-banding machinery (``hamming_dup_pairs``)."""
+    return hamming_dup_pairs(audio_fingerprint(sf_dir), "ahash",
+                             max_hamming, _sorted)
+
+
+def audio_dup_clusters(sf_dir: str, max_hamming: int = 3):
+    """Connected components over the audio fingerprint pair graph — same
+    (doc_id, cluster_id) contract as the image and text tiers."""
+    from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.stages.cluster import cluster_edges
+    edges = audio_dup_pairs(sf_dir, max_hamming, _sorted=False)
     nodes = rd.read_parquet(f"{sf_dir}/documents.parquet",
                             columns=["doc_id"])
     return cluster_edges(edges, nodes, PipelineConfig()).sort("doc_id")
