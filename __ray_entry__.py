@@ -92,6 +92,7 @@ def _dedup_sharded(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.pipelines import bpe as _bpe
+    from fuzzy_matcher_ray.pipelines import embed as _embed
     from fuzzy_matcher_ray.pipelines import events as ev
     from fuzzy_matcher_ray.pipelines import graph as _graph
     from fuzzy_matcher_ray.pipelines import langid as _langid
@@ -315,6 +316,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tests/test_audio_dedup
         "audio_fingerprint": multimodal.audio_fingerprint,
         "audio_dup_clusters": multimodal.audio_dup_clusters,
+        # text → embedding generation (signed feature hashing, unit-norm)
+        # + compositions proving the generated artifact drives the
+        # knn/semantic tiers unchanged; rows-only (hash-defined floats),
+        # exact plain-Python reference parity in tests/test_embed
+        "embed_documents": _embed.embed_documents,
+        "text_knn_topk": _embed.text_knn_topk,
+        "text_semantic_clusters": _embed.text_semantic_clusters,
         # trained Cavnar–Trenkle n-gram language-ID (profiles fit from the
         # corpus's own labels, out-of-place rank distance) — classifier
         # output isn't SQL-expressible; rows-only, planted disjoint-
