@@ -251,6 +251,14 @@ def run_bench() -> dict:
     multimodal.audio_dup_clusters(SF_DIR).count()
     queries["audio_dup_clusters"] = round(time.perf_counter() - t0, 3)
 
+    import shutil
+
+    from fuzzy_matcher_ray.pipelines import embed
+    shutil.rmtree("/tmp/fm_ray_embed", ignore_errors=True)  # cold artifact
+    t0 = time.perf_counter()
+    embed.text_knn_topk(SF_DIR, dim=64).count()
+    queries["text_knn_topk_cold"] = round(time.perf_counter() - t0, 3)
+
     # incremental fold: +10% increment against the headline corpus's
     # checkpointed artifacts, vs re-running the full pipeline over the
     # concatenation — the InsertEntries value proposition, measured.
