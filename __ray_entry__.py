@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fuzzy_matcher_ray.config import PipelineConfig
     from fuzzy_matcher_ray.pipelines import bpe as _bpe
     from fuzzy_matcher_ray.pipelines import embed as _embed
+    from fuzzy_matcher_ray.pipelines import evaluation as _evaluation
     from fuzzy_matcher_ray.pipelines import events as ev
     from fuzzy_matcher_ray.pipelines import graph as _graph
     from fuzzy_matcher_ray.pipelines import langid as _langid
@@ -181,7 +182,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_counts": analytics.order_priority_counts,
         "pricing_summary": analytics.pricing_summary,
         # --- mutation surface (SQL-checked) ---
-        "remove_tombstoned": textops.remove_tombstoned,
+        # clustering-agreement metric kernel (pair-counting recall /
+        # precision, the north rule's acceptance math) over two
+        # SQL-expressible clusterings — fully hash-checked; in-cap, with
+        # remove_tombstoned (trivial anti-join, twice-passed, predicate
+        # shared with events_alive_by_type) traded below the cap
+        "agreement_thresholds": _evaluation.agreement_thresholds,
         # --- events / streaming-shaped (SQL-checked) ---
         "events_alive_by_type": ev.events_alive_by_type,
         "user_hourly_windows": ev.user_hourly_windows,
@@ -225,6 +231,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_guess": lambda d: textops.lang_guess(d).sort("doc_id"),
         "topk_longest": textops.topk_longest,
         "docs_by_lang_source": textops.docs_by_lang_source,
+        "remove_tombstoned": textops.remove_tombstoned,
+        # the north-rule acceptance metric applied to the flagship itself
+        # (engine under test ⇒ rows-only; recall gate asserted in
+        # tests/test_evaluation.py). NOT named dedup_*: the harness pins
+        # that prefix to the (doc_id, cluster_id) full-corpus contract.
+        "flagship_eval_report": _evaluation.dedup_eval_report,
         # incremental InsertEntries at web scale: prior run's checkpoint
         # artifacts are the index; byte-identical-to-full-rerun parity is
         # the pytest oracle (test_incremental.py); rows-only here (own
@@ -630,6 +642,57 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a)
             SELECT n AS doc_id, min(m)::BIGINT AS cluster_id
             FROM reach GROUP BY n ORDER BY n""",
+        # pair-counting agreement between the exact Jaccard closures at
+        # thresholds 0.2 (truth) and 0.8 (found): the metric kernel of
+        # pipelines/evaluation hash-checked end to end
+        "agreement_thresholds": f"""
+            WITH RECURSIVE
+            norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+            g AS (SELECT doc_id, substr(t, CAST(u AS INT), 5) AS sh
+                  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS u
+                        FROM norm WHERE length(t) >= 5)),
+            d AS (SELECT DISTINCT doc_id, sh FROM g),
+            sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+                      FROM d x JOIN d y
+                        ON x.sh = y.sh AND x.doc_id < y.doc_id
+                      GROUP BY x.doc_id, y.doc_id),
+            jac AS (SELECT a, b, c::DOUBLE / (sa.n + sb.n - c) AS v
+                    FROM inter
+                    JOIN sz sa ON sa.doc_id = inter.a
+                    JOIN sz sb ON sb.doc_id = inter.b),
+            sym2 AS (SELECT a, b FROM jac WHERE v >= 0.2
+                     UNION SELECT b, a FROM jac WHERE v >= 0.2),
+            reach2(n, m) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.n, s.b FROM reach2 r JOIN sym2 s ON r.m = s.a),
+            sym8 AS (SELECT a, b FROM jac WHERE v >= 0.8
+                     UNION SELECT b, a FROM jac WHERE v >= 0.8),
+            reach8(n, m) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.n, s.b FROM reach8 r JOIN sym8 s ON r.m = s.a),
+            tl AS (SELECT n AS doc_id, min(m) AS t_lab
+                   FROM reach2 GROUP BY n),
+            fl AS (SELECT n AS doc_id, min(m) AS f_lab
+                   FROM reach8 GROUP BY n),
+            j AS (SELECT tl.doc_id, t_lab, f_lab
+                  FROM tl JOIN fl ON tl.doc_id = fl.doc_id),
+            tp AS (SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS v
+                   FROM (SELECT count(*) AS n FROM j GROUP BY t_lab)),
+            fp AS (SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS v
+                   FROM (SELECT count(*) AS n FROM j GROUP BY f_lab)),
+            cp AS (SELECT coalesce(sum(n * (n - 1) // 2), 0)::BIGINT AS v
+                   FROM (SELECT count(*) AS n FROM j GROUP BY t_lab, f_lab))
+            SELECT (SELECT count(*) FROM j)::BIGINT AS n_items,
+                   tp.v AS truth_pairs, fp.v AS found_pairs,
+                   cp.v AS common_pairs,
+                   (CASE WHEN tp.v > 0 THEN (1000 * cp.v) // tp.v
+                         ELSE -1 END)::BIGINT AS recall_pm,
+                   (CASE WHEN fp.v > 0 THEN (1000 * cp.v) // fp.v
+                         ELSE -1 END)::BIGINT AS precision_pm
+            FROM tp, fp, cp""",
         "url_collapse": """
             WITH u AS (
               SELECT doc_id,
