@@ -189,6 +189,25 @@ def cmd_query(args) -> dict:
             "output": args.output}
 
 
+def cmd_report(args) -> dict:
+    """Lineage + metrics over a checkpoint root (per-stage manifests)."""
+    from fuzzy_matcher_ray.state.checkpoint import run_report
+    t = run_report(args.state_root)
+    d = t.to_pydict()
+    stages = [
+        {"path": p_, "stage": s, "rows": r, "wall_sec": w,
+         "resumed": rs, "pruned": pr, "n_files": nf, "data_bytes": b}
+        for p_, s, r, w, rs, pr, nf, b in zip(
+            d["path"], d["stage"], d["rows"], d["wall_sec"], d["resumed"],
+            d["pruned"], d["n_files"], d["data_bytes"])]
+    return {"job": "report", "state_root": args.state_root,
+            "n_stages": len(stages),
+            "total_wall_sec": round(sum(max(s["wall_sec"], 0.0)
+                                        for s in stages), 3),
+            "total_bytes": sum(s["data_bytes"] for s in stages),
+            "stages": stages}
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="python -m fuzzy_matcher_ray")
     p.add_argument("--num-cpus", type=int, default=None,
@@ -242,6 +261,12 @@ def main(argv=None) -> int:
     q.add_argument("--list", action="store_true",
                    help="print available query names and exit")
     q.set_defaults(fn=cmd_query)
+
+    r = sub.add_parser(
+        "report",
+        help="print per-stage lineage + metrics for a checkpoint root")
+    r.add_argument("--state-root", required=True)
+    r.set_defaults(fn=cmd_report)
 
     args = p.parse_args(argv)
     if getattr(args, "fn", None) is cmd_query and not args.list:

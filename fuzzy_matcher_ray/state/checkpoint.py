@@ -128,3 +128,57 @@ def write_atomic(ds, out_dir: str, partition_label: str | None = None) -> str:
         shutil.rmtree(target)
     os.replace(tmp, target)
     return target
+
+
+def run_report(root: str):
+    """Lineage + metrics table over every ``_MANIFEST.json`` under ``root``
+    (recursive — one row per stage per checkpoint root, so a sharded
+    chain's per-shard roots all appear). The operational read-side of the
+    north rule's "checkpointed per partition with lineage and throughput
+    metrics": wall seconds, row counts, resume/prune flags and the config
+    lineage key per stage, as a queryable Arrow table.
+
+    Columns: (path, stage, config_hash, rows, wall_sec, resumed, pruned,
+    n_files, data_bytes) — rows/wall are -1 when a manifest predates them
+    (prune tombstones keep lineage but drop data)."""
+    import pyarrow as pa
+
+    rows = {"path": [], "stage": [], "config_hash": [], "rows": [],
+            "wall_sec": [], "resumed": [], "pruned": [], "n_files": [],
+            "data_bytes": []}
+    for dirpath, _dirnames, filenames in sorted(os.walk(root)):
+        if "_MANIFEST.json" not in filenames:
+            continue
+        try:
+            with open(os.path.join(dirpath, "_MANIFEST.json")) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue
+        data_dir = os.path.join(dirpath, "data")
+        n_files = b = 0
+        if os.path.isdir(data_dir):
+            for fn in os.listdir(data_dir):
+                fp = os.path.join(data_dir, fn)
+                if os.path.isfile(fp):
+                    n_files += 1
+                    b += os.path.getsize(fp)
+        rows["path"].append(os.path.relpath(dirpath, root))
+        rows["stage"].append(m.get("stage") or os.path.basename(dirpath))
+        rows["config_hash"].append(str(m.get("config_hash", "")))
+        rows["rows"].append(int(m.get("rows", -1)))
+        rows["wall_sec"].append(float(m.get("wall_sec", -1.0)))
+        rows["resumed"].append(bool(m.get("resumed", False)))
+        rows["pruned"].append(bool(m.get("pruned", False)))
+        rows["n_files"].append(n_files)
+        rows["data_bytes"].append(b)
+    return pa.table({
+        "path": pa.array(rows["path"], pa.string()),
+        "stage": pa.array(rows["stage"], pa.string()),
+        "config_hash": pa.array(rows["config_hash"], pa.string()),
+        "rows": pa.array(rows["rows"], pa.int64()),
+        "wall_sec": pa.array(rows["wall_sec"], pa.float64()),
+        "resumed": pa.array(rows["resumed"], pa.bool_()),
+        "pruned": pa.array(rows["pruned"], pa.bool_()),
+        "n_files": pa.array(rows["n_files"], pa.int64()),
+        "data_bytes": pa.array(rows["data_bytes"], pa.int64()),
+    })

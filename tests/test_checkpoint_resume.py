@@ -103,3 +103,35 @@ def test_write_atomic_empty(ray_session, tmp_path):
     target = write_atomic(empty, str(tmp_path / "out"))
     got = rd.read_parquet(target)
     assert got.count() == 0 and got.schema().names == ["x"]
+
+
+def test_run_report_lineage(ray_session, tmp_path):
+    """run_report surfaces every stage manifest with wall/rows/resume
+    flags; a rerun flips resumed=True in the manifests' metrics but the
+    on-disk report keeps the original build's lineage."""
+    import ray.data as rd
+    from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
+    from fuzzy_matcher_ray.sources.webpages import make_webpages
+    from fuzzy_matcher_ray.state.checkpoint import Checkpointer, run_report
+    import pyarrow as pa
+
+    pages, _ = make_webpages(150, seed=91)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(pages)), pa.int64()),
+        "url": pages["url"], "text": pages["text"], "lang": pages["lang"]}))
+    cfg = PipelineConfig()
+    root = str(tmp_path / "ck")
+    find_duplicates(docs, cfg,
+                    checkpointer=Checkpointer(root, cfg.config_hash())) \
+        .materialize()
+    rep = run_report(root).to_pandas()
+    assert len(rep) >= 3                       # several stages checkpointed
+    assert (rep.config_hash == cfg.config_hash()).all()
+    assert (rep.rows >= 0).all() and (rep.wall_sec > 0).all()
+    assert (rep.n_files > 0).all() and (rep.data_bytes > 0).all()
+    assert not rep.pruned.any()
+    # resume: second run reads every stage from checkpoint
+    ck2 = Checkpointer(root, cfg.config_hash())
+    find_duplicates(docs, cfg, checkpointer=ck2).materialize()
+    assert ck2.metrics and all(m.get("resumed") for m in ck2.metrics.values())

@@ -81,3 +81,35 @@ def test_cli_query_unknown_name(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert proc.returncode != 0
     assert "unknown query" in proc.stderr
+
+
+def test_cli_report(ray_session, tmp_path):
+    """`report --state-root` prints per-stage lineage + metrics JSON."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import ray.data as rd
+    from fuzzy_matcher_ray.config import PipelineConfig
+    from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
+    from fuzzy_matcher_ray.sources.webpages import make_webpages
+    from fuzzy_matcher_ray.state.checkpoint import Checkpointer
+
+    pages, _ = make_webpages(120, seed=97)
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(pages)), pa.int64()),
+        "url": pages["url"], "text": pages["text"], "lang": pages["lang"]}))
+    cfg = PipelineConfig()
+    root = str(tmp_path / "ck")
+    find_duplicates(docs, cfg,
+                    checkpointer=Checkpointer(root, cfg.config_hash())) \
+        .materialize()
+    out = subprocess.run(
+        [sys.executable, "-m", "fuzzy_matcher_ray", "--num-cpus", "2",
+         "report", "--state-root", root],
+        capture_output=True, text=True, check=True, cwd="/root/repo")
+    d = json.loads(out.stdout.strip().splitlines()[-1])
+    assert d["n_stages"] >= 3 and d["total_wall_sec"] > 0
+    assert {"stage", "rows", "wall_sec", "resumed", "pruned"} <= \
+        set(d["stages"][0])
