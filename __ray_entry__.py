@@ -270,6 +270,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mergeable-summary scale path — approximate in rank by design,
         # rows-only (eps-bound parity vs exact in tests)
         "value_quantiles_sketch": ev.value_quantiles_sketch,
+        # GROUPED mergeable quantiles (per-host length p50/p90) —
+        # approximate in rank by design, rows-only (exact-at-tiny-eps +
+        # rank-bound oracles in test_webtext)
+        "host_quantiles_sketch": webtext.host_quantiles_sketch,
         "fingerprint_counts": textops.fingerprint_counts,
         "knn_topk_ivf": knn.knn_topk_ivf,
         # IVF-Flat with the TRAINED k-means coarse quantizer (cells adapt

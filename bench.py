@@ -259,6 +259,10 @@ def run_bench() -> dict:
     embed.text_knn_topk(SF_DIR, dim=64).count()
     queries["text_knn_topk_cold"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    webtext.host_quantiles_sketch(SF_DIR).count()
+    queries["host_quantiles_sketch"] = round(time.perf_counter() - t0, 3)
+
     # incremental fold: +10% increment against the headline corpus's
     # checkpointed artifacts, vs re-running the full pipeline over the
     # concatenation — the InsertEntries value proposition, measured.

@@ -1260,3 +1260,128 @@ def quality_prune(sf_dir: str, keep_frac: float = 0.5):
     _pick = ray.remote(num_cpus=0)(lambda tb, i: tb["score"][i].as_py())
     thr = int(ray.get(_pick.remote(refs[b], j - int(offs[b]))))
     return scored.filter(expr=f"score >= {thr}").sort("doc_id")
+
+
+def host_quantiles_sketch(sf_dir: str, qs: tuple = (0.5, 0.9),
+                          eps: float = 0.01, batch_size: int = 8192):
+    """(host, q, value) — per-host mergeable length quantiles: the GROUPED
+    member of the sketch family (`events.value_quantiles_sketch` is the
+    global one). Host doc-length distributions (p50/p95) are the standard
+    crawl-health view next to `host_stats`.
+
+    Shape: the per-batch combiner sorts (host, n_chars) once (lexsort) and
+    keeps every ⌊2·eps·n_seg⌋-th order statistic PER host segment with its
+    covered weight — summaries are (host, value, weight) rows, mergeable by
+    concatenation, ≤ 1/(2·eps)+2 rows per (batch, host). One
+    ``sort(["host","value"])`` co-locates and orders each host's summary;
+    every block extracts quantiles for hosts fully interior to it with a
+    segmented cumulative-weight searchsorted (no per-host dispatch), and
+    ships only its first/last hosts' raw summary rows to the driver for
+    the cross-block stitch (≤ 2 hosts × summary size per block — the same
+    boundary pattern as the span-dedup rebuild). Rank error ≤ 2·eps·n_host
+    (per-batch segment sizes sum to the host's total), tested against the
+    exact per-host quantiles.
+    """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source", "n_chars"])
+
+    def _summary(t: pa.Table) -> pa.Table:
+        host = url_host(_synth_host_urls(t)).to_numpy(zero_copy_only=False)
+        v = _as_array(t["n_chars"]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((v, host))
+        h, v = host[order], v[order]
+        n = len(h)
+        if n == 0:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "value": pa.array([], pa.int64()),
+                             "weight": pa.array([], pa.int64())})
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = h[1:] != h[:-1]
+        seg_id = np.cumsum(brk) - 1
+        seg_start = np.nonzero(brk)[0]
+        seg_len = np.diff(np.append(seg_start, n))
+        k_of_seg = np.maximum(1, (2 * eps * seg_len).astype(np.int64))
+        rel = np.arange(n) - seg_start[seg_id]
+        pick = (rel % k_of_seg[seg_id]) == 0
+        w = np.minimum(k_of_seg[seg_id], seg_len[seg_id] - rel)[pick]
+        return pa.table({"host": pa.array(h[pick]),
+                         "value": pa.array(v[pick]),
+                         "weight": pa.array(w, pa.int64())})
+
+    summ = docs.map_batches(_summary, batch_format="pyarrow",
+                            batch_size=batch_size)
+    ordered = summ.sort(["host", "value"]).materialize()
+    qs_arr = np.asarray(qs, dtype=np.float64)
+
+    def _extract(h, v, w):
+        """Quantiles for every host in ALREADY (host, value)-sorted rows —
+        one segmented cumulative-weight searchsorted per q."""
+        n = len(h)
+        if n == 0:
+            return (np.empty(0, object), np.empty(0), np.empty(0, np.int64))
+        brk = np.empty(n, dtype=bool)
+        brk[0] = True
+        brk[1:] = h[1:] != h[:-1]
+        seg_start = np.nonzero(brk)[0]
+        seg_end = np.append(seg_start[1:], n)
+        cw = np.cumsum(w)
+        seg_cum_start = cw[seg_start] - w[seg_start]
+        seg_tot = cw[seg_end - 1] - seg_cum_start
+        hosts_out, q_out, v_out = [], [], []
+        for q in qs_arr:
+            target = seg_cum_start + q * (seg_tot - 1)
+            idx = np.minimum(np.searchsorted(cw, target, side="right"),
+                             seg_end - 1)
+            hosts_out.append(h[seg_start])
+            q_out.append(np.full(len(seg_start), q))
+            v_out.append(v[idx])
+        return (np.concatenate(hosts_out), np.concatenate(q_out),
+                np.concatenate(v_out).astype(np.int64))
+
+    def _interior(t: pa.Table) -> pa.Table:
+        h = _as_array(t["host"]).to_numpy(zero_copy_only=False)
+        v = _as_array(t["value"]).to_numpy(zero_copy_only=False)
+        w = _as_array(t["weight"]).to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return pa.table({"host": pa.array([], pa.string()),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.int64())})
+        interior = (h != h[0]) & (h != h[-1])
+        ho, qo, vo = _extract(h[interior], v[interior], w[interior])
+        return pa.table({"host": pa.array(ho, pa.string()),
+                         "q": pa.array(qo, pa.float64()),
+                         "value": pa.array(vo, pa.int64())})
+
+    def _boundary(t: pa.Table) -> pa.Table:
+        h = _as_array(t["host"]).to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return t
+        keep = (h == h[0]) | (h == h[-1])
+        return t.filter(pa.array(keep))
+
+    interior = ordered.map_batches(_interior, batch_format="pyarrow")
+    # boundary hosts: ≤ 2 per block, raw summary rows — driver-small by
+    # construction; their extraction is the SAME kernel
+    bparts = list(ordered.map_batches(_boundary, batch_format="pyarrow")
+                  .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+    if bparts:
+        bt = pa.concat_tables(bparts)
+        idx = pc.sort_indices(bt, sort_keys=[("host", "ascending"),
+                                             ("value", "ascending")])
+        bt = bt.take(idx)
+        ho, qo, vo = _extract(
+            bt["host"].to_numpy(zero_copy_only=False),
+            bt["value"].to_numpy(zero_copy_only=False),
+            bt["weight"].to_numpy(zero_copy_only=False))
+        btab = pa.table({"host": pa.array(ho, pa.string()),
+                         "q": pa.array(qo, pa.float64()),
+                         "value": pa.array(vo, pa.int64())})
+        boundary_hosts = set(btab["host"].to_pylist())
+        interior = interior.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(
+                t["host"], pa.array(sorted(boundary_hosts), pa.string())))),
+            batch_format="pyarrow")
+        interior = interior.union(rd.from_arrow(btab))
+    return interior.sort(["host", "q"])

@@ -644,3 +644,45 @@ def test_mg_sketch_nul_tokens_excluded_not_folded(ray_session, tmp_path):
     # no NUL mass leaked into the offsets)
     assert row.n_approx.iloc[0] == 4
     assert row.err_bound.iloc[0] == 0
+
+
+def test_host_quantiles_sketch_exact_and_bounded(ray_session):
+    """eps small ⇒ every order statistic kept ⇒ per-host quantiles EXACT
+    (vs a numpy per-host oracle over the same synthesized hosts); coarse
+    eps ⇒ returned values within the 2·eps·n_host rank bound."""
+    import numpy as np
+    from fuzzy_matcher_ray.pipelines.webtext import (_synth_host_urls,
+                                                     host_quantiles_sketch,
+                                                     url_host)
+    import pyarrow.parquet as pq_
+    sf = "/root/testdata/sf0.01"
+    docs = pq_.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "source", "n_chars"])
+    hosts = url_host(_synth_host_urls(docs)).to_pylist()
+    vals = docs["n_chars"].to_numpy()
+    by_host = {}
+    for h, v in zip(hosts, vals):
+        by_host.setdefault(h, []).append(int(v))
+
+    def rank_pick(sorted_vals, q):
+        # the sketch's rule at k=1: first index with cum > q*(n-1)
+        n = len(sorted_vals)
+        cw = np.arange(1, n + 1)
+        i = min(int(np.searchsorted(cw, q * (n - 1), side="right")), n - 1)
+        return sorted_vals[i]
+
+    exact = host_quantiles_sketch(sf, qs=(0.5, 0.9), eps=1e-9).to_pandas()
+    for (h, q), grp in exact.groupby(["host", "q"]):
+        sv = sorted(by_host[h])
+        assert grp.value.iloc[0] == rank_pick(sv, q), (h, q)
+
+    coarse = host_quantiles_sketch(sf, qs=(0.5,), eps=0.05,
+                                   batch_size=64).to_pandas()
+    assert set(coarse.host) == set(by_host)
+    for _, row in coarse.iterrows():
+        sv = np.array(sorted(by_host[row.host]))
+        n = len(sv)
+        rank = np.searchsorted(sv, row.value, side="left")
+        target = 0.5 * (n - 1)
+        assert abs(rank - target) <= max(2, 2 * 0.05 * n) + 1, \
+            (row.host, rank, target, n)
