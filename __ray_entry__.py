@@ -174,12 +174,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": relevance.tfidf_top_terms,
         "bm25_search": relevance.bm25_search,
         "unigram_doc_logprob": relevance.unigram_doc_logprob,
+        # CCNet head/middle/tail LM-quality bucketing (per-lang ntile
+        # over the unigram score) — novel r4s3 operator, in-cap; traded
+        # order_priority_counts below the cap (twice hash-passed,
+        # unchanged)
+        "ccnet_buckets": relevance.ccnet_buckets,
         "sample_stratified": textops.sample_stratified,
         "shuffle_epoch": textops.shuffle_epoch,
         "topk_per_source": textops.topk_per_source,
         # --- relational analytics (SQL-checked) ---
         "revenue_by_nation": analytics.revenue_by_nation,
-        "order_priority_counts": analytics.order_priority_counts,
         "pricing_summary": analytics.pricing_summary,
         # --- mutation surface (SQL-checked) ---
         # clustering-agreement metric kernel (pair-counting recall /
@@ -223,6 +227,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graded contamination report (decontaminate's threshold is tuned
         # from this) — oracle-backed, over-cap; checked every pytest run
         "contamination_scores": webtext.contamination_scores,
+        # traded below the cap for ccnet_buckets (r4s3): hash-passed in
+        # CORRECTNESS_r02 AND _r03, unchanged since; semi-join kernel
+        # shared with revenue_by_nation's join machinery — still
+        # oracle-checked EVERY pytest run by test_entry_contract
+        "order_priority_counts": analytics.order_priority_counts,
         # trivial rows traded below the cap for the novel r4 operators
         # above: both hash-passed in CORRECTNESS_r02 AND _r03, kernels
         # shared with in-cap queries (stop_hits ⊂ text_quality; sort+limit
@@ -901,6 +910,45 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN toks t ON t.doc_id = d.doc_id
             LEFT JOIN lp ON lp.term = t.term
             GROUP BY d.doc_id ORDER BY d.doc_id""",
+        "ccnet_buckets": """
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM (SELECT doc_id,
+                           unnest(string_split(lower(coalesce(text, '')),
+                                               ' ')) AS t
+                    FROM documents)
+              WHERE t <> ''),
+            cnt AS (SELECT term, count(*)::BIGINT AS c
+                    FROM toks GROUP BY term),
+            tot AS (SELECT sum(c)::DOUBLE AS n FROM cnt),
+            lp AS (SELECT term,
+                          CAST(floor(ln(c::DOUBLE / n) * 1e9 + 0.5)
+                               AS BIGINT) AS l
+                   FROM cnt, tot),
+            sc AS (SELECT d.doc_id, coalesce(d.lang, '') AS lang,
+                          count(lp.l)::BIGINT AS n_tokens,
+                          coalesce(sum(lp.l), 0)::BIGINT AS logprob_e9
+                   FROM documents d
+                   LEFT JOIN toks t ON t.doc_id = d.doc_id
+                   LEFT JOIN lp ON lp.term = t.term
+                   GROUP BY d.doc_id, d.lang),
+            -- exact int64 FLOOR division (DuckDB // truncates, numpy
+            -- floors): subtract the positive modulus first so the
+            -- numerator divides exactly
+            av AS (SELECT doc_id, lang, n_tokens,
+                          CASE WHEN n_tokens = 0 THEN 0
+                               ELSE (logprob_e9
+                                     - (((logprob_e9 % n_tokens) + n_tokens)
+                                        % n_tokens)) // n_tokens
+                          END AS avg_lp_e9
+                   FROM sc),
+            b AS (SELECT doc_id, lang, n_tokens, avg_lp_e9,
+                         ntile(3) OVER (PARTITION BY lang
+                                        ORDER BY avg_lp_e9 DESC,
+                                                 doc_id)::BIGINT AS bucket
+                  FROM av)
+            SELECT doc_id, lang, n_tokens, avg_lp_e9, bucket FROM b
+            ORDER BY doc_id""",
         "tfidf_top_terms": """
             WITH toks AS (
               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w

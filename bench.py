@@ -197,10 +197,15 @@ def run_bench() -> dict:
     webtext.host_cap(SF_DIR).count()
     queries["host_cap"] = round(time.perf_counter() - t0, 3)
 
-    from fuzzy_matcher_ray.pipelines.relevance import unigram_doc_logprob
+    from fuzzy_matcher_ray.pipelines.relevance import (ccnet_buckets,
+                                                       unigram_doc_logprob)
     t0 = time.perf_counter()
     unigram_doc_logprob(SF_DIR).count()
     queries["unigram_doc_logprob"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    ccnet_buckets(SF_DIR).count()
+    queries["ccnet_buckets"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     webtext.host_dup_stats(SF_DIR).count()

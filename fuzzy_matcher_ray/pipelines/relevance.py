@@ -477,3 +477,93 @@ def unigram_doc_logprob(sf_dir: str, vocab_strategy: str = "auto"):
                          "logprob_e9": pa.array(lp)})
 
     return docs.map_batches(_score, batch_format="pyarrow").sort("doc_id")
+
+
+def ccnet_buckets(sf_dir: str, k: int = 3, vocab_strategy: str = "auto"):
+    """(doc_id, lang, n_tokens, avg_lp_e9, bucket) — CCNet-style
+    per-language head/middle/tail quality bucketing (Wenzek et al.,
+    arXiv:1911.00359): documents are scored by a language model and split
+    into k quality tiers per language; the tier decides whether a doc
+    enters the training mix.
+
+    Score = ``unigram_doc_logprob``'s corpus-fit LM logprob normalized per
+    token: ``avg_lp_e9 = floor(logprob_e9 / n_tokens)`` — exact int64
+    floor division, no float in the ordering key, so the DuckDB oracle
+    hash-matches bit for bit (the SQL side uses a mod-corrected exact
+    floor because DuckDB's ``//`` truncates while numpy floors). Tokenless
+    (null/empty) docs score 0 and land in bucket 1; upstream quality gates
+    (``quality_filter``) are what drop them. Buckets follow SQL
+    ``ntile(k)`` semantics per language over (avg_lp_e9 DESC, doc_id ASC):
+    bucket 1 = most probable under the LM (head) … k = least (tail); with
+    n docs in a language the first n mod k buckets hold ceil(n/k) docs,
+    the rest floor(n/k).
+
+    Scale shape: LM fit + scoring is ``unigram_doc_logprob``'s (one
+    vocab-sized ``groupby(term)``; vocabulary broadcast under the vocab
+    gate, term hash-join past it). Bucketing adds: one lang attach onto
+    the slim score table, one range sort of 4 slim columns, a
+    block-metadata position stamp (``stamp_global_positions`` — block data
+    never reaches the driver), and a languages-sized Min/Count aggregate
+    joined back (the ``grouped_topk`` merge shape with ntile arithmetic
+    in place of the top-k filter). Document text is read once, by the LM
+    fit; nothing wider than (doc_id, lang, 2×int64) ever shuffles here.
+    """
+    from ray.data.aggregate import Count, Min
+
+    from fuzzy_matcher_ray.stages.joins import attach_columns
+    from fuzzy_matcher_ray.stages.ranks import stamp_global_positions
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "lang": pa.array([], pa.string()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "avg_lp_e9": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int64())})
+    langs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang"])
+    if langs.count() == 0:
+        # zero-row corpus: Ray infers no schema for the empty read, which
+        # the broadcast attach cannot collect — nothing to bucket anyway
+        return rd.from_arrow(empty)
+    scores = unigram_doc_logprob(sf_dir, vocab_strategy=vocab_strategy)
+    t = attach_columns(scores, langs, "doc_id", "doc_id", {"lang": "lang"},
+                       how="left")
+
+    def _avg(tb: pa.Table) -> pa.Table:
+        lp = tb["logprob_e9"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nt = tb["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        avg = np.zeros(len(tb), dtype=np.int64)
+        m = nt > 0
+        avg[m] = lp[m] // nt[m]
+        return pa.table({"doc_id": tb["doc_id"],
+                         "lang": pc.fill_null(tb["lang"], ""),
+                         "n_tokens": tb["n_tokens"],
+                         "avg_lp_e9": pa.array(avg)})
+
+    slim = t.map_batches(_avg, batch_format="pyarrow")
+    if slim.count() == 0:
+        return rd.from_arrow(empty)
+    ordered = slim.sort(["lang", "avg_lp_e9", "doc_id"],
+                        descending=[False, True, False])
+    stamped = stamp_global_positions(ordered, col="__pos")
+    sizes = stamped.groupby("lang").aggregate(
+        Min("__pos", alias_name="__gpos"), Count(alias_name="__gsz"))
+    joined = attach_columns(stamped, sizes, "lang", "lang",
+                            {"__gpos": "__gpos", "__gsz": "__gsz"},
+                            how="inner")
+
+    def _bucket(tb: pa.Table) -> pa.Table:
+        pos = pc.subtract(tb["__pos"], tb["__gpos"]) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        n = tb["__gsz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q, r = n // k, n % k
+        big = r * (q + 1)
+        bucket = np.where(pos < big, pos // np.maximum(q + 1, 1),
+                          r + (pos - big) // np.maximum(q, 1)) + 1
+        return pa.table({"doc_id": tb["doc_id"], "lang": tb["lang"],
+                         "n_tokens": tb["n_tokens"],
+                         "avg_lp_e9": tb["avg_lp_e9"],
+                         "bucket": pa.array(bucket.astype(np.int64))})
+
+    return joined.map_batches(_bucket, batch_format="pyarrow") \
+        .sort("doc_id")

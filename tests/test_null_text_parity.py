@@ -26,7 +26,7 @@ DOC_QUERIES = [
     "tfidf_top_terms_join", "unigram_doc_logprob_join",
     "host_dup_stats", "quality_prune", "mix_epochs", "contamination_scores",
     "neardup_contamination", "boilerplate_prune", "pack_sequences",
-    "agreement_thresholds",
+    "agreement_thresholds", "ccnet_buckets",
 ]
 
 

@@ -155,3 +155,77 @@ def test_vocab_join_path_termless(ray_session, tmp_path):
     out = unigram_doc_logprob(str(tmp_path), vocab_strategy="join") \
         .to_pandas()
     assert out.n_tokens.tolist() == [0, 0]
+
+
+def _ntile_ref(df, k=3):
+    """Plain-pandas reference of per-lang SQL ntile(k) over
+    (avg_lp_e9 DESC, doc_id ASC) — independent of the pipeline's
+    position-stamp machinery."""
+    out = {}
+    for _, g in df.groupby("lang"):
+        g = g.sort_values(["avg_lp_e9", "doc_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+        n = len(g)
+        q, r = divmod(n, k)
+        for i, doc in enumerate(g.doc_id):
+            b = (i // (q + 1) if i < r * (q + 1)
+                 else r + (i - r * (q + 1)) // max(q, 1))
+            out[doc] = b + 1
+    return out
+
+
+def test_ccnet_buckets_matches_driver_reference(ray_session, tmp_path):
+    """ccnet_buckets == avg-floor-div + per-lang ntile computed driver-side
+    from unigram_doc_logprob's (independently planted-tested) output;
+    covers n % k != 0, n < k, and null/empty docs."""
+    from fuzzy_matcher_ray.pipelines.relevance import (ccnet_buckets,
+                                                       unigram_doc_logprob)
+    rng = np.random.default_rng(3)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    langs = ["en"] * 7 + ["de"] * 2 + ["fr"] * 5
+    texts = []
+    for i in range(len(langs)):
+        if i == 4:
+            texts.append(None)          # en: tokenless → avg 0 → head
+        elif i == 9:
+            texts.append("")            # fr: tokenless → avg 0 → head
+        else:
+            texts.append(" ".join(
+                rng.choice(vocab, int(rng.integers(2, 12)))))
+    tbl = pa.table({"doc_id": pa.array(range(len(langs)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                    "lang": pa.array(langs)})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    out = ccnet_buckets(sf).to_pandas()
+    base = unigram_doc_logprob(sf).to_pandas()
+    base["lang"] = [langs[i] for i in base.doc_id]
+    base["avg_lp_e9"] = [(lp // nt) if nt else 0
+                         for lp, nt in zip(base.logprob_e9, base.n_tokens)]
+    assert dict(zip(out.doc_id, out.avg_lp_e9)) == \
+        dict(zip(base.doc_id, base.avg_lp_e9))
+    assert dict(zip(out.doc_id, out.bucket)) == _ntile_ref(base)
+    # scores are negative, tokenless avg 0 is the max → head bucket
+    assert out.loc[out.doc_id == 4, "bucket"].item() == 1
+    assert out.loc[out.doc_id == 9, "bucket"].item() == 1
+    # n < k language: each row its own bucket, 1-based from the top
+    assert sorted(out[out.lang == "de"].bucket.tolist()) == [1, 2]
+    # the vocab hash-join path is byte-identical through the bucketing
+    j = ccnet_buckets(sf, vocab_strategy="join").to_pandas() \
+        .reset_index(drop=True)
+    assert out.reset_index(drop=True).equals(j)
+
+
+def test_ccnet_buckets_empty_corpus(ray_session, tmp_path):
+    """Zero-row corpus: Ray infers no schema for the empty read — the
+    early return must fire before the lang attach tries to collect it."""
+    from fuzzy_matcher_ray.pipelines.relevance import ccnet_buckets
+    pq.write_table(pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string()),
+                             "lang": pa.array([], pa.string())}),
+                   str(tmp_path / "documents.parquet"))
+    out = ccnet_buckets(str(tmp_path))
+    assert out.count() == 0
+    assert {"doc_id", "lang", "n_tokens", "avg_lp_e9",
+            "bucket"} <= set(out.schema().names)
