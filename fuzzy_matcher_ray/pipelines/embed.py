@@ -74,14 +74,44 @@ def embed_documents(sf_dir: str, dim: int = 64):
     return docs.map_batches(_embed, batch_format="pyarrow")
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """SHA-256 over (relative path, size, mtime_ns) of every file under
+    ``documents.parquet`` (file or partitioned dir) — a CONTENT key, so
+    regenerating a corpus in place invalidates the cache, and distinct
+    corpora cannot collide the way a 32-bit path-crc can."""
+    import hashlib
+    root = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    h = hashlib.sha256()
+    if os.path.isdir(root):
+        files = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(root) for f in fs)
+    elif os.path.exists(root):
+        files = [root]
+    else:
+        files = []
+    h.update(root.encode())
+    for p in files:
+        st = os.stat(p)
+        h.update(f"|{os.path.relpath(p, root)}:{st.st_size}:"
+                 f"{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:24]
+
+
 def text_embeddings_artifact(sf_dir: str, dim: int = 64) -> str:
     """Materialize the hashed embeddings as an ``embeddings.parquet``
     artifact dir (content-keyed under /tmp, idempotent) and return the
     dir — the file-based embedding operators (knn.*, semantic.*) take it
-    as their ``sf_dir``."""
-    import zlib
-    key = zlib.crc32(os.path.abspath(sf_dir).encode())
-    out_dir = f"/tmp/fm_ray_embed/v1-{key:08x}-{dim}"
+    as their ``sf_dir``.
+
+    Cache correctness: the key is a fingerprint of the source corpus's
+    file contents (size+mtime of every part), not its path; the parquet
+    is written to a tmp name and ``os.replace``d (atomic within /tmp) so
+    concurrent builders cannot interleave partial writes; the ``_DONE``
+    marker is created LAST, also via replace — a reader that sees the
+    marker always sees a complete artifact."""
+    key = _corpus_fingerprint(sf_dir)
+    out_dir = f"/tmp/fm_ray_embed/v2-{key}-{dim}"
     marker = os.path.join(out_dir, "_DONE")
     if not os.path.exists(marker):
         os.makedirs(out_dir, exist_ok=True)
@@ -92,9 +122,14 @@ def text_embeddings_artifact(sf_dir: str, dim: int = 64) -> str:
             {"vec_id": pa.array([], pa.int64()),
              "embedding": pa.array([], pa.list_(pa.float32()))})
         tbl = tbl.take(pc.sort_indices(tbl["vec_id"]))
-        pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
-        with open(marker, "w") as f:
+        final = os.path.join(out_dir, "embeddings.parquet")
+        tmp = f"{final}.tmp.{os.getpid()}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, final)
+        tmp_m = f"{marker}.tmp.{os.getpid()}"
+        with open(tmp_m, "w") as f:
             f.write("ok")
+        os.replace(tmp_m, marker)
     return out_dir
 
 

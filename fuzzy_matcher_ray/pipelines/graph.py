@@ -32,7 +32,10 @@ Shape:
 
 Determinism: no float, no RNG; ranks are exact int64 functions of the
 distinct edge set. SCALE = 10^6 keeps Σ ranks ≤ N·10^6 — inside int64 up
-to N = 10^12 nodes, the design corpus.
+to N = 10^12 nodes, the design corpus — and the contribution kernel is
+decomposed (see ``_contrib_of``) so its intermediates are bounded by the
+rank itself: hub nodes of arbitrary in-link mass cannot overflow the
+d·rank product either.
 """
 
 from __future__ import annotations
@@ -103,8 +106,20 @@ def extract_links(pages):
 
 def _contrib_of(rank: np.ndarray, outdeg: np.ndarray,
                 damping_ppm: int) -> np.ndarray:
-    """⌊d·rank/outdeg⌋ in exact int64 — THE shared kernel of both paths."""
-    return (damping_ppm * rank) // (PPM * outdeg)
+    """⌊d·rank/(PPM·outdeg)⌋ in exact int64 — THE shared kernel of both paths.
+
+    Decomposed so no intermediate can overflow: a naive
+    ``damping_ppm * rank`` wraps once a hub's rank exceeds ~1.08e13 units
+    (≈1e7 in-links of average mass), exactly the open-web regime.  Using
+    the nested-floor identity ⌊x/(a·b)⌋ = ⌊⌊x/a⌋/b⌋ with x = d·rank,
+    a = PPM, b = outdeg, and computing ⌊d·rank/PPM⌋ via the split
+    rank = q·PPM + r  ⇒  ⌊d·rank/PPM⌋ = d·q + ⌊d·r/PPM⌋, every
+    intermediate is ≤ rank (d < PPM, r < PPM ⇒ d·r < PPM² ≈ 1e12), so the
+    kernel is exact for ANY rank representable in int64.
+    """
+    q, r = rank // PPM, rank % PPM
+    scaled = damping_ppm * q + (damping_ppm * r) // PPM  # = ⌊d·rank/PPM⌋
+    return scaled // outdeg
 
 
 def pagerank(edges, n_iter: int = 10, damping_ppm: int = 850_000):

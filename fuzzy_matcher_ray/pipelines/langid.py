@@ -23,10 +23,13 @@ Shape:
    distances are exact int64; prediction = min distance, ties to the
    lexicographically smallest language; gramless docs predict "unknown".
 
-Normalization: lower-case, non-[a-z] runs collapsed to one space, one
-space of padding each side (the CT word-boundary convention). Byte-level
-grams over UTF-8 — multibyte scripts contribute byte n-grams, which is
-exactly how the original method handles them.
+Normalization: lower-case, non-LETTER runs (RE2 ``[^\\p{L}]+`` — any
+script's letters survive) collapsed to one space, one space of padding
+each side (the CT word-boundary convention). Byte-level grams over
+UTF-8 — Cyrillic/CJK/Arabic/accented-Latin codepoints contribute their
+multibyte byte n-grams, which is exactly how the original method
+handles them; ASCII text normalizes identically to a plain [^a-z]+
+rule, so Latin profiles match the earlier revision byte-for-byte.
 """
 
 from __future__ import annotations
@@ -47,7 +50,13 @@ _SEED = 0x1A9D
 
 def _norm(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
     s = pc.utf8_lower(pc.fill_null(_as_array(texts), ""))
-    s = pc.replace_substring_regex(s, "[^a-z]+", " ")
+    # collapse everything that is not a LETTER (any script — RE2 \p{L}):
+    # whitespace / digits / punctuation fold to one space, but Cyrillic,
+    # CJK, Arabic, accented-Latin codepoints survive and contribute their
+    # UTF-8 byte n-grams. ASCII-only text normalizes identically to the
+    # old [^a-z]+ rule (post-lowercase, every non-a-z ASCII char is a
+    # non-letter), so Latin profiles are unchanged.
+    s = pc.replace_substring_regex(s, r"[^\p{L}]+", " ")
     s = pc.utf8_trim_whitespace(s)
     # gramless marker for empty docs: padding would give ' ' grams
     return pc.if_else(pc.equal(s, ""), s,

@@ -483,7 +483,8 @@ def image_dhash(sf_dir: str):
 
 
 def hamming_dup_pairs(hashed, hash_col: str, max_hamming: int = 3,
-                      _sorted: bool = True):
+                      _sorted: bool = True,
+                      degenerate_group_max: int = 64):
     """Near-dup pairs of any 64-bit perceptual-hash column: Manku
     block-combination banding + exact Hamming verify.
 
@@ -494,6 +495,26 @@ def hamming_dup_pairs(hashed, hash_col: str, max_hamming: int = 3,
     with the vectorized SWAR popcount. Wide payloads never shuffle — only
     slim (combo, key, doc_id, hash) rows leave the hash stage. Shared by
     the image-dHash and audio-envelope dedup tiers.
+
+    **Degenerate-hash guard**: real crawls carry mass-produced identical
+    perceptual hashes (blank/uniform images hash to dhash 0, silent audio
+    to envelope 0). An exact-hash value shared by more than
+    ``degenerate_group_max`` docs is collapsed BEFORE banding: its members
+    emit star pairs (min-doc_id rep ↔ member; Hamming 0 by construction)
+    directly, and only the rep enters the banding stage. Connected
+    components are unchanged (every member sits at distance 0 from the
+    rep, so any band edge a member would contribute, the rep contributes),
+    so the pair output is *cluster-complete*; within-group pair
+    enumeration is intentionally star-shaped above the threshold — that
+    O(n²) explode is exactly the skew blow-up this guard removes. Below
+    the threshold, all-pairs output is unchanged.
+
+    Banding itself keeps ``max_band_group`` effectively unbounded
+    (1 << 30): a hot-key star/chain rewrite inside a band would be
+    Hamming-verified pairwise and silently drop transitive ≤3-bit links,
+    so the ≤3 completeness guarantee requires the full band explode —
+    safe once identical-hash mass is collapsed, because a band group then
+    holds only DISTINCT hashes agreeing on 3 of 6 blocks.
     """
     from dataclasses import replace
 
@@ -504,8 +525,70 @@ def hamming_dup_pairs(hashed, hash_col: str, max_hamming: int = 3,
     if max_hamming > 3:
         raise ValueError("banding guarantees completeness only to 3 bits")
 
+    valid = hashed.map_batches(
+        lambda t: t.filter(pc.is_valid(t[hash_col])),
+        batch_format="pyarrow")
+    # slim rows (doc_id + hash = 16 B) — pin so the degenerate-count pass
+    # and the banding pass don't re-run the upstream decode
+    valid = valid.materialize()
+
+    # degenerate exact-hash values: rep per hash via groupby.min — the
+    # result is one row per DEGENERATE hash value, tiny by construction
+    # (> threshold members each), so it broadcasts as a plain dict.
+    from ray.data.aggregate import Count, Min
+    counts = valid.groupby(hash_col).aggregate(
+        Count(alias_name="_n"), Min("doc_id", alias_name="_rep"))
+    thresh = int(degenerate_group_max)
+    degen_parts = list(counts.map_batches(
+        lambda t: t.filter(pc.greater(t["_n"], pa.scalar(thresh))),
+        batch_format="pyarrow").select_columns(
+            [hash_col, "_rep"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"))
+    rep_of = {}
+    if degen_parts:
+        degen_tbl = pa.concat_tables(degen_parts)
+        rep_of = dict(zip(degen_tbl[hash_col].to_pylist(),
+                          degen_tbl["_rep"].to_pylist()))
+
+    star_parts = []
+    if rep_of:
+        import ray
+        rep_ref = ray.put(rep_of)
+
+        def _split(t: pa.Table) -> pa.Table:
+            """Drop degenerate non-rep members; they pair via the star."""
+            reps = ray.get(rep_ref)
+            h = t[hash_col].to_numpy(zero_copy_only=False)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            is_degen = np.isin(h, np.fromiter(reps, np.int64,
+                                              count=len(reps)))
+            is_rep = np.zeros(len(h), dtype=bool)
+            if is_degen.any():
+                rep_ids = np.array([reps[int(x)] for x in h[is_degen]],
+                                   dtype=np.int64)
+                is_rep[np.nonzero(is_degen)[0]] = \
+                    d[is_degen] == rep_ids
+            return t.filter(pa.array(~is_degen | is_rep))
+
+        def _stars(t: pa.Table) -> pa.Table:
+            reps = ray.get(rep_ref)
+            h = t[hash_col].to_numpy(zero_copy_only=False)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            is_degen = np.isin(h, np.fromiter(reps, np.int64,
+                                              count=len(reps)))
+            hh, dd = h[is_degen], d[is_degen]
+            rep_ids = np.array([reps[int(x)] for x in hh], dtype=np.int64)
+            keep = dd != rep_ids
+            return pa.table({"a": pa.array(rep_ids[keep]),
+                             "b": pa.array(dd[keep], pa.int64())})
+
+        star_parts.append(valid.map_batches(_stars,
+                                            batch_format="pyarrow"))
+        band_input = valid.map_batches(_split, batch_format="pyarrow")
+    else:
+        band_input = valid
+
     def _bands(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t[hash_col]))
         sim = t[hash_col].to_numpy(zero_copy_only=False).view(np.uint64)
         keys, n_combos = simhash_combo_keys(sim, r=3)
         n = len(sim)
@@ -518,7 +601,7 @@ def hamming_dup_pairs(hashed, hash_col: str, max_hamming: int = 3,
             "phash": pa.array(np.tile(sim.view(np.int64), n_combos)),
         })
 
-    rows = hashed.map_batches(_bands, batch_format="pyarrow")
+    rows = band_input.map_batches(_bands, batch_format="pyarrow")
 
     def _hamming_filter(t: pa.Table) -> pa.Table:
         d = hamming64(
@@ -529,6 +612,8 @@ def hamming_dup_pairs(hashed, hash_col: str, max_hamming: int = 3,
     out = key_pairs(rows, ["combo", "key"],
                     replace(PipelineConfig(), max_band_group=1 << 30),
                     carry_cols=["phash"], pair_filter=_hamming_filter)
+    for sp in star_parts:
+        out = out.union(sp)
     return out.sort(["a", "b"]) if _sorted else out
 
 

@@ -65,10 +65,24 @@ def webpages_source(path: str, extract_html: bool = False):
 
 def _canonical_adapt(ds):
     """Any (text [, url, lang]) Dataset → canonical docs: missing lang
-    becomes "und"; missing url gets a content-addressed surrogate; doc_id
-    is the 63-bit url hash (the same surrogate rule as webpages_source, so
-    identical inputs get identical ids across source formats)."""
+    becomes "und"; missing url gets a content-addressed surrogate SALTED
+    with the row's global read-order position (``content://{hash}/{pos}``)
+    so distinct input rows with identical — or both-null — text keep
+    DISTINCT doc_ids: downstream contracts (cluster row counts, groupby
+    cardinalities) see exactly as many docs as the source had, and exact-
+    content collapsing stays where it belongs, in the dedup operators.
+    doc_id is the 63-bit url hash (the same surrogate rule as
+    webpages_source, so identical (url, text) rows get identical ids
+    across source formats). The position comes from the shared block-
+    metadata prefix-sum stamp (O(blocks) driver ints, one remote stamp per
+    block) and is deterministic for a given input file list, since Ray
+    Datasets preserve read order."""
     from fuzzy_matcher_ray.functions.fingerprint import content_hash
+
+    names = set(ds.schema().names)
+    if "url" not in names:
+        from fuzzy_matcher_ray.stages.ranks import stamp_global_positions
+        ds = stamp_global_positions(ds, col="_src_pos")
 
     def _adapt(t: pa.Table) -> pa.Table:
         names = set(t.column_names)
@@ -82,7 +96,9 @@ def _canonical_adapt(ds):
                               pc.fill_null(text, ""))
             url = pc.binary_join_element_wise(
                 pa.array(["content://"] * t.num_rows),
-                pc.cast(pa.array(th.astype("int64")), pa.string()), "")
+                pc.cast(pa.array(th.astype("int64")), pa.string()),
+                pa.array(["/"] * t.num_rows),
+                pc.cast(t["_src_pos"], pa.string()), "")
         lang = (pc.cast(t["lang"], pa.string()) if "lang" in names
                 else pa.array(["und"] * t.num_rows, pa.string()))
         u = url.combine_chunks() if isinstance(url, pa.ChunkedArray) else url

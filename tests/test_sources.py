@@ -35,10 +35,17 @@ def test_csv_source_defaults_and_content_ids(ray_session, tmp_path):
     p.write_text("text\nfoo bar\nfoo bar\nother\n")
     out = csv_source(str(p)).take_all()
     assert [r["lang"] for r in out] == ["und"] * 3
-    # content-addressed surrogate: identical text → identical id/url
+    # position-salted surrogate: identical text rows keep DISTINCT ids
+    # (exact-content collapsing is the dedup operators' job, not ingest's)
     ids = [r["doc_id"] for r in out]
-    assert ids[0] == ids[1] != ids[2]
+    assert len(set(ids)) == 3
     assert all(r["url"].startswith("content://") for r in out)
+    # deterministic: a second read of the same file gives the same ids
+    again = [r["doc_id"] for r in csv_source(str(p)).take_all()]
+    assert sorted(again) == sorted(ids)
+    # the shared-content rows still share the content prefix of the url
+    pre = [r["url"].rsplit("/", 1)[0] for r in out]
+    assert pre[0] == pre[1] != pre[2]
 
 
 def test_jsonl_source_feeds_dedup(ray_session, jsonl_corpus):
