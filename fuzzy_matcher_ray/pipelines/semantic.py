@@ -224,6 +224,68 @@ def semantic_clusters(sf_dir: str, k: int = 10, iters: int = 4,
     return out.map_batches(_finish, batch_format="pyarrow").sort("vec_id")
 
 
+def _greedy_kept(xs: np.ndarray, eps_int: np.int64,
+                 block: int = 1024) -> np.ndarray:
+    """Positions (into ``xs`` row order) kept by the greedy prune: row i
+    survives iff its dot with every EARLIER SURVIVOR is < eps_int.
+
+    Blocked dominance, byte-identical to the naive per-member loop:
+
+    - block-vs-kept: one (B × K) matmul eliminates block members already
+      dominated by earlier blocks' survivors;
+    - within block: one (B × B) gram matmul, then a scan that iterates per
+      *survivor* (each step one vectorized column-threshold elimination),
+      not per member — dup-heavy blocks (the hot case: boilerplate /
+      template embeddings collapsing to one survivor) resolve in O(1)
+      steps instead of O(B) interpreter iterations.
+
+    EXACTNESS of the float64 matmuls: rows are ``_fp_rows`` output, norm
+    ≈ 2^24, so by Cauchy–Schwarz every dot AND every partial sum under
+    any BLAS reduction order is an integer bounded by Σ|x_i·y_i| ≤
+    ‖x‖·‖y‖ ≈ 2^48 < 2^53 — exactly representable in float64, and each
+    product x_i·y_i ≤ 2^48 is too. The float comparison against
+    ``eps_int`` (< 2^49) is therefore the integer comparison, bit for
+    bit; the norm bound is asserted at entry. Using float64 buys BLAS
+    throughput — numpy's int64 matmul is a generic non-BLAS kernel an
+    order of magnitude slower.
+    """
+    n = len(xs)
+    if n == 0:
+        return np.empty(0, np.int64)
+    xf = xs.astype(np.float64)
+    norms2 = np.einsum("ij,ij->i", xf, xf)
+    assert norms2.max(initial=0.0) < float(1 << 49), \
+        "_greedy_kept: rows must be _fp_rows-normalized fixed point"
+    eps_f = float(eps_int)
+    kept_blocks: list[np.ndarray] = []   # survivor ROWS, per block
+    kept_pos: list[np.ndarray] = []      # survivor positions, per block
+    for lo in range(0, n, block):
+        xb = xf[lo:lo + block]
+        if kept_blocks:
+            km = np.concatenate(kept_blocks, axis=0)
+            alive = (xb @ km.T).max(axis=1) < eps_f
+            idxs = np.flatnonzero(alive)
+        else:
+            idxs = np.arange(len(xb))
+        if len(idxs) == 0:
+            continue
+        sub = xb[idxs]                   # only rows alive after kept-check
+        g = sub @ sub.T                  # exact-integer float64 gram
+        cur = np.arange(len(idxs))
+        ptr = 0
+        while ptr < len(cur):
+            i = cur[ptr]                 # next survivor in greedy order
+            later = cur[ptr + 1:]
+            cur = np.concatenate(
+                [cur[:ptr + 1], later[g[later, i] < eps_f]])
+            ptr += 1
+        kept_blocks.append(sub[cur])
+        kept_pos.append(idxs[cur] + lo)
+    if not kept_pos:
+        return np.empty(0, np.int64)
+    return np.concatenate(kept_pos)
+
+
 def semdedup_prune(sf_dir: str, k: int = 10, iters: int = 4, eps: float = 0.4,
                    seed: int = 7, max_cluster: int = 100_000):
     """SemDeDup: (vec_id, cluster_id) of the KEPT vectors after per-cluster
@@ -232,8 +294,10 @@ def semdedup_prune(sf_dir: str, k: int = 10, iters: int = 4, eps: float = 0.4,
     Within each cluster (co-located by the groupby shuffle), members are
     ordered by (cosine-to-centroid desc, vec_id asc); a member survives iff
     its cosine to every earlier survivor is < eps (exact int64 comparison —
-    eps snapped to the 2^48 dot grid). Cross-cluster near-dups are NOT
-    examined — the SemDeDup recall trade, documented here on purpose.
+    eps snapped to the 2^48 dot grid; blocked vectorized kernel, see
+    ``_greedy_kept``). Cross-cluster near-dups are NOT examined by this
+    entry point — the SemDeDup recall trade; ``semdedup_prune_boundary``
+    adds the optional runner-up-centroid backstop.
 
     A cluster larger than ``max_cluster`` is pruned in vec_id-sorted chunks
     of that size (greedy within each chunk only) — deterministic, logged,
@@ -256,12 +320,8 @@ def semdedup_prune(sf_dir: str, k: int = 10, iters: int = 4, eps: float = 0.4,
         for lo in range(0, len(ids), max_cluster):
             ci = chunk_order[lo:lo + max_cluster]
             order = ci[np.lexsort((ids[ci], -dots[ci]))]
-            xs = x[order]
-            kept: list[int] = []
-            for i in range(len(order)):
-                if not kept or int((xs[kept] @ xs[i]).max()) < int(eps_int):
-                    kept.append(i)
-            out_idx.append(order[np.array(kept, dtype=np.int64)])
+            kept = _greedy_kept(x[order], eps_int)
+            out_idx.append(order[kept])
         sel = np.concatenate(out_idx) if out_idx else np.array([], np.int64)
         sub = g.take(pa.array(np.sort(sel)))
         return pa.table({"vec_id": sub["vec_id"],
@@ -270,3 +330,130 @@ def semdedup_prune(sf_dir: str, k: int = 10, iters: int = 4, eps: float = 0.4,
     return (assigned.groupby("cluster_id")
             .map_groups(_prune_group, batch_format="pyarrow")
             .sort("vec_id"))
+
+
+def semdedup_prune_boundary(sf_dir: str, k: int = 10, iters: int = 4,
+                            eps: float = 0.4, seed: int = 7,
+                            max_cluster: int = 100_000,
+                            delta: float = 0.05):
+    """SemDeDup with the CROSS-CLUSTER boundary backstop: near-dups that
+    straddle a k-means boundary (A lands in cluster i, its semantic dup B
+    in cluster j) are invisible to the per-cluster prune; here, any member
+    whose runner-up-centroid cosine is within ``delta`` of its winner ALSO
+    joins the runner-up's prune group as a shadow row, so a boundary pair
+    meets in at least one group whenever both sit within δ of the shared
+    boundary.
+
+    Survival rule: a vector is kept iff it survives the greedy in EVERY
+    group it joined (a shadow eliminated by the runner-up group's greedy
+    is a detected cross-boundary dup). To keep that vote consistent, the
+    greedy order inside every group is the vector's GLOBAL priority —
+    (primary-centroid cosine desc, vec_id asc), carried on shadow rows
+    too — so of two boundary dups the same one wins in both groups
+    (group-local ordering would let each win at home and lose away,
+    deleting both). One greedy-cover caveat follows: an eliminator that
+    itself dies in another group leaves its eliminatees covered only by
+    the group-time survivor set, the documented approximation of this
+    vote. ``delta=0`` emits no shadows and reproduces ``semdedup_prune``
+    exactly.
+
+    Cost model: shadows add a boundary fraction f of duplicate SLIM rows
+    (one extra embedding row each) to the groupby exchange and ≤ (1+f)²
+    to the per-group greedy work; the survival vote is one extra
+    slim-row ``groupby(vec_id)`` with two mergeable aggregates. f is
+    measured by ``log``-visible counts at runtime; for well-separated
+    clusters f ≪ 1, and δ tunes recall vs cost explicitly.
+    """
+    from ray.data.aggregate import Min, Sum
+    ds = _read(sf_dir)
+    c_fp = kmeans_fit(ds, k=k, iters=iters, seed=seed)
+    eps_int = np.int64(np.rint(eps * _DOT_SCALE))
+    delta_int = np.int64(np.rint(delta * _DOT_SCALE))
+    ref = ray.put(c_fp)
+
+    def _assign_shadow(t: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        ids, m = _batch_matrix(t)
+        empty = {"vec_id": pa.array([], pa.int64()),
+                 "cluster_id": pa.array([], pa.int64()),
+                 "cos_dot": pa.array([], pa.int64()),
+                 "primary": pa.array([], pa.int64()),
+                 "embedding": pa.array([], pa.list_(pa.float32()))}
+        if len(ids) == 0:
+            return pa.table(empty)
+        x = _fp_rows(m)
+        dots = x @ cents.T
+        a = np.argmax(dots, axis=1)
+        best = dots[np.arange(len(a)), a]
+        # cos_dot is the PRIMARY centrality on shadow rows too — the
+        # global greedy priority shared by every group a vector joins
+        parts = [pa.table({
+            "vec_id": pa.array(ids),
+            "cluster_id": pa.array(a.astype(np.int64)),
+            "cos_dot": pa.array(best),
+            "primary": pa.array(np.ones(len(a), np.int64)),
+            "embedding": t["embedding"],
+        })]
+        if len(cents) > 1 and delta_int > 0:
+            masked = dots.copy()
+            masked[np.arange(len(a)), a] = np.iinfo(np.int64).min
+            a2 = np.argmax(masked, axis=1)
+            second = masked[np.arange(len(a2)), a2]
+            sh = (best - second) <= delta_int
+            if sh.any():
+                parts.append(pa.table({
+                    "vec_id": pa.array(ids[sh]),
+                    "cluster_id": pa.array(a2[sh].astype(np.int64)),
+                    "cos_dot": pa.array(best[sh]),
+                    "primary": pa.array(np.zeros(int(sh.sum()), np.int64)),
+                    "embedding": t["embedding"].take(
+                        pa.array(np.flatnonzero(sh))),
+                }))
+        return pa.concat_tables(parts)
+
+    rows = ds.map_batches(_assign_shadow, batch_format="pyarrow")
+
+    def _prune_group(g: pa.Table) -> pa.Table:
+        ids, m = _batch_matrix(g.select(["vec_id", "embedding"]))
+        dots = g["cos_dot"].to_numpy(zero_copy_only=False)
+        x = _fp_rows(m)
+        if len(ids) > max_cluster:
+            logger.warning(
+                "semdedup_prune_boundary: group of %d > max_cluster=%d — "
+                "pruning in chunks; raise k", len(ids), max_cluster)
+        kept_mask = np.zeros(len(ids), dtype=bool)
+        chunk_order = np.argsort(ids, kind="stable")
+        for lo in range(0, len(ids), max_cluster):
+            ci = chunk_order[lo:lo + max_cluster]
+            order = ci[np.lexsort((ids[ci], -dots[ci]))]
+            kept_mask[order[_greedy_kept(x[order], eps_int)]] = True
+        return pa.table({
+            "vec_id": g["vec_id"],
+            "cid_vote": g["cluster_id"],
+            "primary": g["primary"],
+            "kept": pa.array(kept_mask.astype(np.int64)),
+        })
+
+    voted = (rows.groupby("cluster_id")
+             .map_groups(_prune_group, batch_format="pyarrow"))
+
+    def _weight(t: pa.Table) -> pa.Table:
+        cid = t["cid_vote"].to_numpy(zero_copy_only=False)
+        prim = t["primary"].to_numpy(zero_copy_only=False)
+        return pa.table({"vec_id": t["vec_id"],
+                         "cid_w": pa.array(cid * prim),
+                         "kept": t["kept"]})
+
+    agg = (voted.map_batches(_weight, batch_format="pyarrow")
+           .groupby("vec_id")
+           .aggregate(Min("kept", alias_name="kept_all"),
+                      Sum("cid_w", alias_name="cluster_id")))
+
+    def _finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sub = t.filter(pc.equal(t["kept_all"], pa.scalar(1)))
+        return pa.table({
+            "vec_id": sub["vec_id"],
+            "cluster_id": pc.cast(sub["cluster_id"], pa.int64())})
+
+    return agg.map_batches(_finish, batch_format="pyarrow").sort("vec_id")

@@ -140,3 +140,88 @@ def test_kmeans_iterations_improve_objective(ray_session):
     m4 = (x @ c4.T).max(axis=1).mean()
     assert m4 >= m0 - 1e-6 * float(semantic._DOT_SCALE)
     assert m4 > m0                      # and strictly better on this corpus
+
+
+def test_greedy_kept_blocked_matches_naive_loop():
+    """The vectorized blocked-dominance kernel is byte-identical to the
+    per-member greedy loop, across block boundaries and dup densities."""
+    from fuzzy_matcher_ray.pipelines.semantic import _FP, _greedy_kept
+
+    def _naive(xs, eps_int):
+        kept: list[int] = []
+        for i in range(len(xs)):
+            if not kept or int((xs[kept] @ xs[i]).max()) < int(eps_int):
+                kept.append(i)
+        return np.array(kept, dtype=np.int64)
+
+    rng = np.random.RandomState(3)
+    for n, dim, dup_groups in [(0, 8, 0), (1, 8, 0), (37, 8, 5),
+                               (200, 16, 12), (513, 4, 3), (257, 8, 257)]:
+        if dup_groups:
+            base = rng.randn(dup_groups, dim)
+            m = base[rng.randint(0, dup_groups, size=n)] \
+                + rng.randn(n, dim) * 0.05
+        else:
+            m = rng.randn(max(n, 1), dim)[:n]
+        if n:
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        xs = np.rint(m * float(_FP)).astype(np.int64).reshape(n, dim)
+        for eps in (0.5, 0.9, 0.99):
+            eps_int = np.int64(np.rint(eps * float(_FP) * float(_FP)))
+            for block in (4, 64, 1024):
+                got = _greedy_kept(xs, eps_int, block=block)
+                assert got.tolist() == _naive(xs, eps_int).tolist(), \
+                    (n, dim, dup_groups, eps, block)
+
+
+def _boundary_fixture(tmp_path):
+    """Two tight blobs + a planted near-identical pair straddling the
+    k-means boundary (each member lands in a different cluster)."""
+    import pyarrow as pa
+    rng = np.random.RandomState(5)
+    e1 = np.array([1.0, 0.0, 0.0]); e2 = np.array([0.0, 1.0, 0.0])
+    rows = []
+    for base in (e1, e2):
+        pts = base + rng.randn(50, 3) * 0.02
+        rows.append(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+    m = (e1 + e2) / np.linalg.norm(e1 + e2)
+    v1 = m + 0.03 * e1; v2 = m + 0.03 * e2
+    rows.append(np.stack([v1 / np.linalg.norm(v1), v2 / np.linalg.norm(v2)]))
+    mat = np.concatenate(rows).astype(np.float32)
+    ids = np.arange(len(mat), dtype=np.int64)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.ravel()), 3).cast(pa.list_(pa.float32()))
+    pq.write_table(pa.table({"vec_id": pa.array(ids), "embedding": emb}),
+                   str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path), 100, 101      # dir, planted pair ids
+
+
+def test_boundary_backstop_catches_cross_cluster_dups(ray_session, tmp_path):
+    from fuzzy_matcher_ray.pipelines.semantic import (semdedup_prune,
+                                                      semdedup_prune_boundary)
+    sf, a, b = _boundary_fixture(tmp_path)
+    plain = semdedup_prune(sf, k=2, iters=4, eps=0.9, seed=7).to_pandas()
+    # the pair straddles the boundary: plain per-cluster prune misses it
+    plain_ids = set(plain.vec_id)
+    assert {a, b} <= plain_ids
+    assert plain.loc[plain.vec_id == a, "cluster_id"].iloc[0] != \
+        plain.loc[plain.vec_id == b, "cluster_id"].iloc[0]
+
+    boosted = semdedup_prune_boundary(sf, k=2, iters=4, eps=0.9, seed=7,
+                                      delta=0.05).to_pandas()
+    boosted_ids = set(boosted.vec_id)
+    # exactly one of the planted pair is pruned by the backstop
+    assert len({a, b} & boosted_ids) == 1
+    # and nothing else changed: backstop only removes, never adds
+    assert boosted_ids <= plain_ids
+    assert plain_ids - boosted_ids <= {a, b}
+
+
+def test_boundary_backstop_delta_zero_is_plain_prune(ray_session, tmp_path):
+    from fuzzy_matcher_ray.pipelines.semantic import (semdedup_prune,
+                                                      semdedup_prune_boundary)
+    sf, _, _ = _boundary_fixture(tmp_path)
+    plain = semdedup_prune(sf, k=2, iters=4, eps=0.9, seed=7).to_pandas()
+    zero = semdedup_prune_boundary(sf, k=2, iters=4, eps=0.9, seed=7,
+                                   delta=0.0).to_pandas()
+    assert plain.values.tolist() == zero.values.tolist()
