@@ -216,8 +216,13 @@ def _bucket_of(sig: np.ndarray) -> np.ndarray:
     return sig.astype(np.int64) @ weights
 
 
-def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, bits: int = 2,
-                 seed: int = 7):
+def _auto_bits(n_rows: int) -> int:
+    """Derived IVF bucket bits: ~16k-row buckets, clamped to [2, 20]."""
+    return int(np.clip(np.ceil(np.log2(max(n_rows, 1) / 16384.0)), 2, 20))
+
+
+def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 5,
+                 bits: int | None = None, seed: int = 7):
     """LSH-bucketed ANN with the bucket as the SHUFFLE key.
 
     1. Queries hash to sign buckets; multi-probe expands each query to its
@@ -230,18 +235,23 @@ def knn_topk_ivf(sf_dir: str, n_queries: int = 5, k: int = 5, bits: int = 2,
        bucket and emits per-(query, bucket) partial top-k.
     4. A tiny global merge reduces the per-bucket partials.
 
-    ``bits`` controls the bucket count (2^bits): the default 2 (4 buckets)
-    fits the demo-scale fixtures; at real corpus sizes raise it until
-    buckets are worker-memory-sized, or the ``groupby(bucket)`` shuffle
-    skews onto a handful of reducers (warned below).
+    ``bits`` controls the bucket count (2^bits). The default (None)
+    DERIVES it from the corpus row count — ceil(log2(n / 16384)) clamped
+    to [2, 20], i.e. ~16k-row buckets — so the demo default is no longer
+    a fixed 4-bucket skew hazard at scale: a 10^9-vector corpus gets 2^16
+    buckets automatically. Pass ``bits`` explicitly to pin it; small
+    bucket counts still warn (multi-probe recall is the trade the other
+    way: more buckets = fewer probed candidates per query).
     """
     import logging
+    ds = _read(sf_dir)
+    if bits is None:
+        bits = _auto_bits(ds.count())
     if bits <= 4:
         logging.getLogger(__name__).warning(
             "knn_topk_ivf: 2^%d = %d buckets is demo-scale; at real corpus "
             "sizes raise `bits` or the bucket groupby skews onto %d reducers",
             bits, 1 << bits, 1 << bits)
-    ds = _read(sf_dir)
     q_tbl = ds.filter(expr=f"vec_id < {n_queries}").to_pandas()
     q_ids = q_tbl["vec_id"].to_numpy()
     q_mat = _normalize_rows(np.stack(q_tbl["embedding"].to_numpy()).astype(np.float64))

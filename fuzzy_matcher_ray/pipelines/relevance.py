@@ -440,6 +440,13 @@ def unigram_doc_logprob(sf_dir: str, vocab_strategy: str = "auto"):
     """
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"])
+    return unigram_doc_logprob_ds(docs, vocab_strategy=vocab_strategy)
+
+
+def unigram_doc_logprob_ds(docs, vocab_strategy: str = "auto"):
+    """``unigram_doc_logprob`` over an explicit (doc_id, text) Dataset —
+    the composable form the curation recipe fits its LM on (scoring the
+    SURVIVING corpus, not the raw table)."""
     from ray.data.aggregate import Sum
     tf_agg = _tf_table(docs).materialize()
     # one distributed scalar aggregate — the vocab-sized table never
@@ -508,6 +515,20 @@ def ccnet_buckets(sf_dir: str, k: int = 3, vocab_strategy: str = "auto"):
     in place of the top-k filter). Document text is read once, by the LM
     fit; nothing wider than (doc_id, lang, 2×int64) ever shuffles here.
     """
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "lang"])
+    return ccnet_buckets_ds(docs, k=k, vocab_strategy=vocab_strategy)
+
+
+def ccnet_buckets_ds(docs, k: int = 3, vocab_strategy: str = "auto"):
+    """``ccnet_buckets`` over an explicit (doc_id, text, lang) Dataset —
+    the composable form: the curation recipe fits the LM on and buckets
+    its current SURVIVOR set, not the raw table.
+
+    ``docs`` is consumed twice (lang attach + LM fit); pass a cheap
+    Dataset (a parquet read / checkpoint read), as the curation recipe
+    does — re-execution then costs one extra pruned read, not a pipeline
+    replay."""
     from ray.data.aggregate import Count, Min
 
     from fuzzy_matcher_ray.stages.joins import attach_columns
@@ -518,13 +539,13 @@ def ccnet_buckets(sf_dir: str, k: int = 3, vocab_strategy: str = "auto"):
                       "n_tokens": pa.array([], pa.int64()),
                       "avg_lp_e9": pa.array([], pa.int64()),
                       "bucket": pa.array([], pa.int64())})
-    langs = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                            columns=["doc_id", "lang"])
+    langs = docs.select_columns(["doc_id", "lang"])
     if langs.count() == 0:
         # zero-row corpus: Ray infers no schema for the empty read, which
         # the broadcast attach cannot collect — nothing to bucket anyway
         return rd.from_arrow(empty)
-    scores = unigram_doc_logprob(sf_dir, vocab_strategy=vocab_strategy)
+    scores = unigram_doc_logprob_ds(docs.select_columns(["doc_id", "text"]),
+                                    vocab_strategy=vocab_strategy)
     t = attach_columns(scores, langs, "doc_id", "doc_id", {"lang": "lang"},
                        how="left")
 

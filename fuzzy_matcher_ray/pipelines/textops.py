@@ -310,6 +310,13 @@ def mix_epochs(sf_dir: str, buckets: int = 10, frac_keep: int = 5):
     """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "source"])
+    return mix_epochs_ds(ds, buckets, frac_keep)
+
+
+def mix_epochs_ds(docs, buckets: int = 10, frac_keep: int = 5):
+    """``mix_epochs`` over an explicit (doc_id, source) Dataset — the
+    composable form the curation recipe chains."""
+    ds = docs
 
     def _f(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)

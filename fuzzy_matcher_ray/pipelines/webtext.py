@@ -488,7 +488,19 @@ def decontaminate(sf_dir: str, n_eval: int = 20, gram_n: int = 3,
     """
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    ev = ds.filter(expr=f"doc_id < {n_eval}")
+    return decontaminate_ds(ds, ds, n_eval, gram_n, max_hits)
+
+
+def decontaminate_ds(docs, eval_source, n_eval: int = 20, gram_n: int = 3,
+                     max_hits: int = 5):
+    """``decontaminate`` over explicit Datasets — the composable form:
+    ``docs`` is the corpus to filter (its doc_id < ``n_eval`` rows are
+    dropped as eval members regardless), ``eval_source`` supplies the eval
+    set (its doc_id < ``n_eval`` rows) — the curation recipe passes the
+    ORIGINAL table there so the eval grams don't shrink as upstream stages
+    prune the corpus."""
+    ds = docs
+    ev = eval_source.filter(expr=f"doc_id < {n_eval}")
 
     def _grams(t: pa.Table) -> pa.Table:
         g, _ = _token_ngrams(_as_array(t["text"]), gram_n)
@@ -768,11 +780,19 @@ def quality_filter(sf_dir: str, min_tokens: int = 5, min_stop_hits: int = 1,
     signal), and <= ``max_dup_bigrams`` duplicated positional bigrams
     (repetition signal). Returns surviving (doc_id), sorted. One
     streaming map over existing Arrow kernels — no shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return quality_filter_ds(ds, min_tokens, min_stop_hits, max_dup_bigrams)
+
+
+def quality_filter_ds(docs, min_tokens: int = 5, min_stop_hits: int = 1,
+                      max_dup_bigrams: int = 8):
+    """``quality_filter`` over an explicit (doc_id, text) Dataset — the
+    composable form the curation recipe chains."""
     from fuzzy_matcher_ray.functions.textstats import (stopword_hits,
                                                        token_count)
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
+    ds = docs
 
     def _f(t: pa.Table) -> pa.Table:
         text = pc.fill_null(_as_array(t["text"]), "")  # null doc == empty

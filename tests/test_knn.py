@@ -298,3 +298,11 @@ def test_knn_sq8_recall_and_error(brute, ray_session):
     for q, n, c in zip(sq["query_id"], sq["neighbor_id"], sq["cosine"]):
         if (q, n) in nb_want:
             assert abs(c - nb_want[(q, n)]) <= 1e-2
+
+
+def test_knn_ivf_bits_derived_from_corpus_size():
+    """The auto default targets ~16k-row buckets, clamped to [2, 20]."""
+    from fuzzy_matcher_ray.pipelines.knn import _auto_bits
+    for n, want in [(1, 2), (16_384, 2), (100_000, 3),
+                    (10**9, 16), (10**12, 20)]:
+        assert _auto_bits(n) == want, (n, want)
