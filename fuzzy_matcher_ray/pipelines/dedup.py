@@ -538,6 +538,12 @@ def _semi_join_keys(rows, keys_ds, key_cols, cfg: PipelineConfig):
 # builder threads — see the CONCURRENCY CONTRACT in _semi_join_rows
 _FALLBACK_JOIN_LOCK = threading.Lock()
 
+# pin the fold's prior-signature union in the object store (shared by the
+# minhash AND simhash semi-joins) only while it stays under this budget;
+# larger chains re-read the checkpoint parquet per pass instead — see
+# incremental_update
+SIGS_PIN_MAX_BYTES = 2 << 30
+
 
 def _semi_join_rows(rows_prior, rows_inc, key_cols, cfg: PipelineConfig):
     """Prior rows whose ``key_cols`` combo appears among the INCREMENT's
@@ -865,6 +871,21 @@ def incremental_update(prior_root: str | list[str], new_docs,
                 # normalize artifact (correct, just not incremental)
                 s = signature_table(n, cfg)
             sigs_A = s if sigs_A is None else sigs_A.union(s)
+        # both LSH passes scan this prior-signature union (band keys AND
+        # simhash keys). While it fits a bounded object-store budget, pin
+        # it ONCE so the two semi-joins share a single execution instead
+        # of re-reading the whole chain's artifacts per pass — a per-fold
+        # fixed cost that stacks on cold chains. Past the budget the lazy
+        # re-read streams: at open-web scale a second pruned parquet read
+        # beats pinning the corpus signatures in the object store.
+        if (sigs_A is not None and "minhash" in passes
+                and "simhash" in passes):
+            try:
+                sig_bytes = sigs_A.size_bytes() or 0
+            except Exception:
+                sig_bytes = None
+            if sig_bytes is not None and sig_bytes <= SIGS_PIN_MAX_BYTES:
+                sigs_A = sigs_A.materialize()
 
     def _lsh_inc(key_rows_fn, key_cols, carry, pair_filter):
         # materialize the increment's key rows: _semi_join_rows consumes
