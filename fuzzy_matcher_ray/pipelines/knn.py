@@ -388,6 +388,10 @@ def knn_topk_ivf_kmeans(sf_dir: str, n_queries: int = 5, k: int = 5,
 # through the shuffle; above it vectors are hash-JOINED onto the pairs by id
 # (the attach_pair_texts pattern) so nothing ever materializes driver-side.
 _VERIFY_BROADCAST_MAX_ROWS = 1_000_000
+# below this row count the SRP bucketing runs on plain tasks: the actor
+# pool's spin-up (~seconds) dwarfs the per-batch hyperplane rebuild it
+# amortizes; above it the pool's once-per-actor state wins
+SRP_ACTOR_MIN_ROWS = 100_000
 
 _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
@@ -471,14 +475,25 @@ def embedding_dup_pairs_lsh(sf_dir: str, threshold: float = 0.9,
     from fuzzy_matcher_ray.stages.candidates import key_pairs
 
     ds = _read(sf_dir)
+    n_rows = ds.count()              # parquet-metadata count — no data scan
     if verify_strategy == "auto":
-        # parquet-metadata count — no data scan
         verify_strategy = ("broadcast"
-                           if ds.count() <= _VERIFY_BROADCAST_MAX_ROWS
+                           if n_rows <= _VERIFY_BROADCAST_MAX_ROWS
                            else "join")
-    rows = ds.map_batches(_SRPBucketer, batch_format="pyarrow",
-                          fn_constructor_args=(seed, n_tables, n_bits),
-                          concurrency=(1, 8))
+    if n_rows > SRP_ACTOR_MIN_ROWS:
+        # actor pool: the hyperplane tensor builds once per actor and
+        # amortizes over many batches — the scale shape
+        rows = ds.map_batches(_SRPBucketer, batch_format="pyarrow",
+                              fn_constructor_args=(seed, n_tables, n_bits),
+                              concurrency=(1, 8))
+    else:
+        # small inputs: a task pool skips the multi-second actor-pool
+        # spin-up that dominates demo-scale walls; the per-batch plane
+        # rebuild is microseconds (n_tables·dim·n_bits floats) and the
+        # planes are deterministic per (seed, dim), so output is
+        # byte-identical to the actor path
+        bucketer = _SRPBucketer(seed, n_tables, n_bits)
+        rows = ds.map_batches(bucketer, batch_format="pyarrow")
     # the SRP recall model assumes EVERY within-bucket pair is emitted —
     # the star+chain hot-group cap would silently drop pairs with no
     # union-find downstream to restore connectivity. Skew control here is
