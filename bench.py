@@ -229,6 +229,14 @@ def run_bench() -> dict:
     textops.pack_sequences(SF_DIR).count()
     queries["pack_sequences"] = round(time.perf_counter() - t0, 3)
 
+    # the composed curation chain (quality → exact+near dedup →
+    # decontaminate → ccnet keep → mix → pack) over the documents table,
+    # production (LSH) near-dup stage, no checkpoints — end-to-end wall
+    from fuzzy_matcher_ray.pipelines.curate import curation_packed
+    t0 = time.perf_counter()
+    curation_packed(SF_DIR, neardup="lsh").count()
+    queries["curation_packed"] = round(time.perf_counter() - t0, 3)
+
     from fuzzy_matcher_ray.pipelines import bpe
     t0 = time.perf_counter()
     merges = bpe.bpe_train(SF_DIR, n_merges=32)

@@ -132,6 +132,35 @@ def cmd_span_dedup(args) -> dict:
             "output": args.output}
 
 
+def cmd_curate(args) -> dict:
+    """The composed curation recipe as one resumable job: quality →
+    exact+near dedup → decontaminate → ccnet keep → mix → pack."""
+    from fuzzy_matcher_ray.pipelines.curate import curate_corpus
+    from fuzzy_matcher_ray.state.checkpoint import write_atomic
+
+    t0 = time.perf_counter()
+    out = curate_corpus(args.sf_dir, checkpoint_root=args.checkpoint,
+                        window=args.window, keep_buckets=args.keep_buckets,
+                        neardup=args.neardup)
+    write_atomic(out, args.output)
+    wall = time.perf_counter() - t0
+    n = _rows_written(args.output)
+    res = {"job": "curate", "rows": n, "sec": round(wall, 3),
+           "neardup": args.neardup, "output": args.output}
+    if args.checkpoint:
+        import json as _json
+        import os as _os
+        funnel = {}
+        for stage in ("s1_quality", "s2_exact", "s3_neardup", "s4_decontam",
+                      "s5_ccnet", "s6_mix", "s7_packed"):
+            m = _os.path.join(args.checkpoint, stage, "_MANIFEST.json")
+            if _os.path.isfile(m):
+                with open(m) as f:
+                    funnel[stage] = _json.load(f).get("rows")
+        res["funnel"] = funnel
+    return res
+
+
 def cmd_url_dedup(args) -> dict:
     from fuzzy_matcher_ray.pipelines.webtext import dedup_by_url
     from fuzzy_matcher_ray.state.checkpoint import write_atomic
@@ -267,6 +296,21 @@ def main(argv=None) -> int:
         help="print per-stage lineage + metrics for a checkpoint root")
     r.add_argument("--state-root", required=True)
     r.set_defaults(fn=cmd_report)
+
+    c = sub.add_parser(
+        "curate",
+        help="composed curation chain: quality → exact+near dedup → "
+             "decontaminate → ccnet keep → mix → pack (resumable)")
+    c.add_argument("--sf-dir", required=True,
+                   help="directory holding documents.parquet")
+    c.add_argument("--output", required=True)
+    c.add_argument("--checkpoint", default=None,
+                   help="stage-artifact root; rerun with the same root "
+                        "resumes from the last completed stage")
+    c.add_argument("--neardup", choices=["lsh", "exact"], default="lsh")
+    c.add_argument("--window", type=int, default=64)
+    c.add_argument("--keep-buckets", type=int, default=2)
+    c.set_defaults(fn=cmd_curate)
 
     args = p.parse_args(argv)
     if getattr(args, "fn", None) is cmd_query and not args.list:

@@ -113,3 +113,20 @@ def test_cli_report(ray_session, tmp_path):
     assert d["n_stages"] >= 3 and d["total_wall_sec"] > 0
     assert {"stage", "rows", "wall_sec", "resumed", "pruned"} <= \
         set(d["stages"][0])
+
+
+def test_cli_curate_fresh_then_resume(tmp_path):
+    args = ("curate", "--sf-dir", SF,
+            "--checkpoint", str(tmp_path / "ck"),
+            "--output", str(tmp_path / "packed"))
+    m1 = _run_cli(*args)
+    assert m1["job"] == "curate" and m1["rows"] > 0
+    assert list(m1["funnel"]) == ["s1_quality", "s2_exact", "s3_neardup",
+                                  "s4_decontam", "s5_ccnet", "s6_mix",
+                                  "s7_packed"]
+    assert m1["funnel"]["s7_packed"] == m1["rows"]
+    m2 = _run_cli("curate", "--sf-dir", SF,
+                  "--checkpoint", str(tmp_path / "ck"),
+                  "--output", str(tmp_path / "packed2"))
+    assert m2["rows"] == m1["rows"] and m2["funnel"] == m1["funnel"]
+    assert m2["sec"] < m1["sec"]          # every stage resumed
