@@ -307,6 +307,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and greedy-oracle parity in tests/test_semantic.py
         "semantic_clusters": semantic.semantic_clusters,
         "semdedup_prune": semantic.semdedup_prune,
+        # cross-cluster boundary backstop (runner-up-centroid shadow pass;
+        # survive-everywhere vote): rows-only — planted cross-boundary
+        # recall + delta=0 ≡ plain-prune parity in tests/test_semantic.py
+        "semdedup_prune_boundary":
+            lambda d: semantic.semdedup_prune_boundary(d, delta=0.02),
         # distributed BPE: merge learning is iterative (one pair-count
         # aggregate per merge) — not SQL-expressible; rows-only here, exact
         # pure-Python reference-implementation + driver/distributed twin
