@@ -59,6 +59,12 @@ def _keep(docs, ids):
     side by construction."""
     from fuzzy_matcher_ray.stages.joins import attach_columns
 
+    if ids.limit(1).count() == 0:
+        # upstream stage filtered everything: an empty survivor set has no
+        # derivable schema for the join machinery — the semi-join result
+        # is definitionally empty, with the docs schema (parquet metadata;
+        # a plain limit(0) would erase it and break downstream collects)
+        return rd.from_arrow(docs.schema().base_schema.empty_table())
     marked = ids.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"],
                             "_k": pa.array(np.ones(len(t), np.int8))}),
@@ -218,9 +224,20 @@ def curate_corpus(sf_dir: str, checkpoint_root: str | None = None,
             _keep(_read(sf_dir, ["doc_id", "source"]),
                   ccnet.select_columns(["doc_id"]))))
 
+    empty_packed = pa.schema([
+        ("seq_id", pa.int64()), ("doc_id", pa.int64()),
+        ("copy_idx", pa.int64()), ("tok_start", pa.int64()),
+        ("tok_end", pa.int64())])
+
     def _build_packed():
         from fuzzy_matcher_ray.functions.textstats import token_count
         from fuzzy_matcher_ray.stages.joins import attach_columns
+
+        if ccnet.limit(1).count() == 0:
+            # every doc filtered upstream — zero-row executions lose their
+            # schema through the join machinery; the packed output is
+            # definitionally empty
+            return rd.from_arrow(empty_packed.empty_table())
 
         def _tc(t: pa.Table) -> pa.Table:
             toks = pc.cast(token_count(pc.fill_null(t["text"], "")),
@@ -235,10 +252,6 @@ def curate_corpus(sf_dir: str, checkpoint_root: str | None = None,
             "doc_id", "doc_id", {"tc": "tc"}, how="inner")
         return _pack_mixed(mixed_tc, window)
 
-    empty_packed = pa.schema([
-        ("seq_id", pa.int64()), ("doc_id", pa.int64()),
-        ("copy_idx", pa.int64()), ("tok_start", pa.int64()),
-        ("tok_end", pa.int64())])
     return ck.stage("s7_packed", _build_packed, empty_schema=empty_packed)
 
 

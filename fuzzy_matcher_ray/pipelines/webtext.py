@@ -506,10 +506,13 @@ def decontaminate_ds(docs, eval_source, n_eval: int = 20, gram_n: int = 3,
         g, _ = _token_ngrams(_as_array(t["text"]), gram_n)
         return pa.table({"g": pc.unique(g)})
 
-    eval_tbl = pa.concat_tables(
+    eval_parts = list(
         ev.map_batches(_grams, batch_format="pyarrow")
         .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    eval_set = pc.unique(eval_tbl["g"].combine_chunks())
+    # gramless eval set (too-short/empty docs): an empty string set — every
+    # corpus doc trivially passes the overlap gate
+    eval_set = (pc.unique(pa.concat_tables(eval_parts)["g"].combine_chunks())
+                if eval_parts else pa.array([], pa.string()))
     ref = ray.put(eval_set)
 
     def _survivors(t: pa.Table) -> pa.Table:
@@ -544,10 +547,13 @@ def contamination_scores(sf_dir: str, n_eval: int = 20, gram_n: int = 3):
         g, _ = _token_ngrams(_as_array(t["text"]), gram_n)
         return pa.table({"g": pc.unique(g)})
 
-    eval_tbl = pa.concat_tables(
+    eval_parts = list(
         ev.map_batches(_grams, batch_format="pyarrow")
         .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    eval_set = pc.unique(eval_tbl["g"].combine_chunks())
+    # gramless eval set (too-short/empty docs): an empty string set — every
+    # corpus doc trivially passes the overlap gate
+    eval_set = (pc.unique(pa.concat_tables(eval_parts)["g"].combine_chunks())
+                if eval_parts else pa.array([], pa.string()))
     ref = ray.put(eval_set)
 
     def _score(t: pa.Table) -> pa.Table:
@@ -718,10 +724,12 @@ def decontaminate_bloom(sf_dir: str, n_eval: int = 20, gram_n: int = 3,
         g, _ = _token_ngrams(_as_array(t["text"]), gram_n)
         return pa.table({"g": pc.unique(g)})
 
-    eval_tbl = pa.concat_tables(
+    eval_parts = list(
         ev.map_batches(_grams, batch_format="pyarrow")
         .iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
-    eval_grams = pc.unique(eval_tbl["g"].combine_chunks())
+    eval_grams = (pc.unique(pa.concat_tables(eval_parts)["g"]
+                            .combine_chunks())
+                  if eval_parts else pa.array([], pa.string()))
     n_bits = _bloom_params(len(eval_grams), bits_per_gram)
     bits = _bloom_build(content_hash(eval_grams), n_bits, k)
     ref = ray.put(bits)

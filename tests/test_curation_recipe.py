@@ -102,3 +102,45 @@ def test_curation_report_funnel(ray_session, tmp_path):
     # mixing oversamples (>= 1 copy per survivor)
     assert n["s6_mix"] >= n["s5_ccnet"]
     assert n["s7_packed"] > 0
+
+
+def test_curation_degenerate_all_filtered(ray_session, tmp_path):
+    """A corpus the quality gate kills entirely flows through every stage
+    as an empty survivor set — no crashes, zero packed rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fuzzy_matcher_ray.pipelines.curate import curate_corpus
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["x", "", None]),          # all < 5 tokens
+        "lang": pa.array(["en", "en", "de"]),
+        "source": pa.array(["src0", "src1", "src2"]),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = curate_corpus(str(tmp_path))
+    assert out.count() == 0
+    # schema asserted on the Dataset: Ray's to_pandas drops columns for
+    # zero-row datasets
+    assert out.schema().names == ["seq_id", "doc_id", "copy_idx",
+                                  "tok_start", "tok_end"]
+
+
+def test_curation_eval_only_corpus(ray_session, tmp_path):
+    """Every doc is in the eval-id range (< n_eval): decontamination drops
+    the whole corpus, later stages see empty survivor sets."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fuzzy_matcher_ray.pipelines.curate import curate_corpus
+    texts = [f"the quick brown fox {i} jumps over the lazy dog and then "
+             f"walks to the river of town {i}" for i in range(5)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array([f"src{i}" for i in range(5)]),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = curate_corpus(str(tmp_path)).to_pandas()
+    assert len(out) == 0
