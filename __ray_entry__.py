@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from fuzzy_matcher_ray.pipelines import (analytics, knn, multimodal,
                                              relevance, semantic, textops,
                                              webtext)
+    from fuzzy_matcher_ray.pipelines import tier as _tier
     from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
     from fuzzy_matcher_ray.pipelines.fuzzy_query import fuzzy_topk_levenshtein
     from fuzzy_matcher_ray.sources.protocol import documents_source
@@ -193,9 +194,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_buckets": relevance.ccnet_buckets,
         "shuffle_epoch": textops.shuffle_epoch,
         "topk_per_source": textops.topk_per_source,
-        # --- relational analytics (SQL-checked) ---
-        "revenue_by_nation": analytics.revenue_by_nation,
-        "pricing_summary": analytics.pricing_summary,
+        # --- tiered dedup cascade (NEW r5 session 2, SQL-checked): the
+        #     exact → near cascade with per-doc elimination labels, and
+        #     the soft (down-weight, don't drop) alternative. In-cap in
+        #     trade for revenue_by_nation/pricing_summary (both r4
+        #     hash-green on since-unchanged analytics kernels) ---
+        "tiered_dedup": _tier.tiered_dedup,
+        "soft_dedup_weights": _tier.soft_dedup_weights,
         "agreement_thresholds": _evaluation.agreement_thresholds,
         # --- events / streaming-shaped (SQL-checked) ---
         "events_alive_by_type": ev.events_alive_by_type,
@@ -224,6 +229,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # web-text map kernels; host_block_filter ⊂ host_stats;
         # sample_stratified ⊂ shuffle_epoch's hash rank) — still
         # oracle-checked EVERY pytest run by test_entry_contract
+        # rotated below in the r5 session-2 trade for the tiered-dedup
+        # rows: both hash-green in r4 (CORRECTNESS_r04) on analytics
+        # kernels unchanged since
+        "revenue_by_nation": analytics.revenue_by_nation,
+        "pricing_summary": analytics.pricing_summary,
+        # the tiered cascade's elimination funnel (kernel ⊂ tiered_dedup,
+        # which is in-cap; this slim rollup is oracle-checked every pytest
+        # run by test_entry_contract)
+        "tier_counts": _tier.tier_counts,
         "cluster_size_histogram": textops.cluster_size_histogram,
         "cluster_representatives": textops.cluster_representatives,
         "token_counts": lambda d: textops.token_counts(d).sort("doc_id"),
@@ -382,6 +396,33 @@ _NTOK = _ntok_of()
 # tests/test_null_text_parity.py. normalize_text itself stays
 # null-propagating (its oracle returns NULL for NULL text).
 _COAL = "coalesce(text, '')"
+
+
+# the tiered-dedup cascade's shared CTE chain: exact winners (min doc_id
+# per coalesced normalized text), then the exact all-pairs Jaccard closure
+# of dedup_jaccard_brute restricted to those winners
+_TIER_BODY = f"""
+    wm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY {_norm_of(_COAL)}) AS w,
+                  {_norm_of(_COAL)} AS nt FROM documents),
+    win AS (SELECT doc_id, nt FROM wm WHERE doc_id = w),
+    g AS (SELECT doc_id, substr(nt, CAST(u AS INT), 5) AS sh
+          FROM (SELECT doc_id, nt, unnest(range(1, length(nt) - 3)) AS u
+                FROM win WHERE length(nt) >= 5)),
+    d AS (SELECT DISTINCT doc_id, sh FROM g),
+    sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+    inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+              FROM d x JOIN d y ON x.sh = y.sh AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+    p AS (SELECT a, b FROM inter
+          JOIN sz sa ON sa.doc_id = inter.a
+          JOIN sz sb ON sb.doc_id = inter.b
+          WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8),
+    sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+    reach(n, m) AS (
+      SELECT doc_id, doc_id FROM win
+      UNION
+      SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a),
+    clus AS (SELECT n AS w_id, min(m) AS cluster_id FROM reach GROUP BY n)"""
 
 
 _PROBES_CTE = """
@@ -654,6 +695,36 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a)
             SELECT n AS doc_id, min(m)::BIGINT AS cluster_id
             FROM reach GROUP BY n ORDER BY n""",
+        # tiered cascade: exact winners first, the recursive-CTE Jaccard
+        # closure over WINNERS only, tier = the stage that eliminated the
+        # doc ('keep' = final representative). Same shingle/threshold
+        # config as dedup_jaccard_brute; the exact tier also catches
+        # normalized texts shorter than the shingle width.
+        "tiered_dedup": f"""
+            WITH RECURSIVE {_TIER_BODY}
+            SELECT wm.doc_id, clus.cluster_id::BIGINT AS cluster_id,
+                   CASE WHEN wm.doc_id = clus.cluster_id THEN 'keep'
+                        WHEN wm.doc_id = wm.w THEN 'near'
+                        ELSE 'exact' END AS tier
+            FROM wm JOIN clus ON clus.w_id = wm.w
+            ORDER BY doc_id""",
+        "soft_dedup_weights": f"""
+            WITH RECURSIVE {_TIER_BODY},
+            final AS (SELECT wm.doc_id, clus.cluster_id
+                      FROM wm JOIN clus ON clus.w_id = wm.w),
+            cnt AS (SELECT cluster_id, count(*) AS n
+                    FROM final GROUP BY cluster_id)
+            SELECT f.doc_id, 1.0::DOUBLE / cnt.n AS weight
+            FROM final f JOIN cnt ON cnt.cluster_id = f.cluster_id
+            ORDER BY doc_id""",
+        "tier_counts": f"""
+            WITH RECURSIVE {_TIER_BODY}
+            SELECT CASE WHEN wm.doc_id = clus.cluster_id THEN 'keep'
+                        WHEN wm.doc_id = wm.w THEN 'near'
+                        ELSE 'exact' END AS tier,
+                   count(*)::BIGINT AS n_docs
+            FROM wm JOIN clus ON clus.w_id = wm.w
+            GROUP BY 1 ORDER BY tier""",
         # pair-counting agreement between the exact Jaccard closures at
         # thresholds 0.2 (truth) and 0.8 (found): the metric kernel of
         # pipelines/evaluation hash-checked end to end

@@ -237,6 +237,14 @@ def run_bench() -> dict:
     curation_packed(SF_DIR, neardup="lsh").count()
     queries["curation_packed"] = round(time.perf_counter() - t0, 3)
 
+    # tiered cascade (exact → LSH near) with per-doc elimination labels —
+    # the production near-tier path; the all-pairs variant is the
+    # small-scale oracle twin
+    from fuzzy_matcher_ray.pipelines import tier as _tier
+    t0 = time.perf_counter()
+    _tier.tiered_dedup(SF_DIR, use_lsh=True).count()
+    queries["tiered_dedup_lsh"] = round(time.perf_counter() - t0, 3)
+
     from fuzzy_matcher_ray.pipelines import bpe
     t0 = time.perf_counter()
     merges = bpe.bpe_train(SF_DIR, n_merges=32)

@@ -1,0 +1,172 @@
+"""Tiered deduplication: the composed exact → near cascade with per-doc
+tier labels, and the soft-dedup down-weighting it induces.
+
+The reference runs its exact pass before the fuzzy trie search so the
+expensive tier only sees exact-dedup survivors (fuzzy_matcher_core.go:60-112
+Build→Search lifecycle); this module exposes that cascade as ONE labeled
+operator over the ``documents`` table:
+
+- tier ``exact``  — doc eliminated by the exact tier (a lower doc_id has
+  byte-identical normalized text);
+- tier ``near``   — doc survived the exact tier but its shingle set is
+  Jaccard ≥ 0.8 to a lower-id survivor (transitively);
+- tier ``keep``   — the final representative (doc_id == cluster_id).
+
+``cluster_id`` is the FINAL cluster after both tiers (min doc_id through
+exact groups then near components), so the output is a superset of the
+plain (doc_id, cluster_id) dedup contract plus the elimination label.
+
+The cascade matters beyond bookkeeping: the near tier (all-pairs Jaccard
+here — the SQL-expressible exact oracle; the LSH passes are the scale
+path) runs over exact-tier SURVIVORS only, so N identical copies cost one
+shingle set instead of N, and short documents (normalized length < the
+shingle width, hence no shingles at all) still deduplicate — the exact
+tier catches them where a pure-Jaccard pass definitionally cannot.
+
+At 100 TB: the exact tier is one hash-partitioned groupby over
+(norm-hash) keys; the near tier inherits the survivor-only input, and its
+exchange is the same banded/verified machinery as ``find_duplicates`` —
+swap ``jaccard_allpairs_clusters`` for the LSH passes via ``use_lsh``.
+
+``soft_dedup_weights`` is the down-weighting alternative to dropping
+(train on everything, weight each doc 1/|cluster|): per-cluster counts
+over the tiered labels, one slim groupby + attach — weights per cluster
+sum to exactly 1.0.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from fuzzy_matcher_ray.config import PipelineConfig
+from fuzzy_matcher_ray.functions.normalize import normalize_array
+
+
+def _docs(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+
+def _doc_winner(sf_dir: str):
+    """(doc_id, w): w = min doc_id sharing this doc's normalized text
+    (nulls ≡ empty, the shared dedup-gate rule). One groupby + attach,
+    both on the norm-text key."""
+    from ray.data.aggregate import Min
+
+    from fuzzy_matcher_ray.stages.joins import attach_columns
+
+    def _norm(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "norm_text": pc.fill_null(normalize_array(t["text"]), "")})
+
+    # two consumers (groupby + attach probe side) — pin the normalize pass
+    normed = _docs(sf_dir).map_batches(_norm, batch_format="pyarrow") \
+                          .materialize()
+    reps = normed.groupby("norm_text").aggregate(
+        Min("doc_id", alias_name="w"))
+    out = attach_columns(normed, reps, "norm_text", "norm_text",
+                         {"w": "w"}, how="inner")
+    return out.select_columns(["doc_id", "w"])
+
+
+def tiered_dedup(sf_dir: str, cfg: PipelineConfig | None = None,
+                 use_lsh: bool = False):
+    """(doc_id, cluster_id, tier) over ``documents`` — the exact → near
+    dedup cascade with the tier that decided each doc (see module
+    docstring). ``use_lsh=True`` swaps the near tier's exact all-pairs
+    join for the banded MinHash passes (the 100 TB path; same
+    shingle/threshold config, recall-gated in tests/test_dedup_e2e.py)."""
+    from fuzzy_matcher_ray.stages.joins import attach_columns
+
+    cfg = cfg or PipelineConfig()
+    doc_w = _doc_winner(sf_dir).materialize()
+
+    # exact-tier survivors, with text for the shingle pass: semi-join the
+    # pruned source read on the winner ids (slim side by construction)
+    winner_ids = doc_w.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "_k": pa.array(np.ones(len(t), np.int8)),
+        }).filter(pc.equal(t["doc_id"], t["w"])),
+        batch_format="pyarrow")
+    winners = attach_columns(_docs(sf_dir), winner_ids, "doc_id", "doc_id",
+                             {"_k": "_k"}, how="inner") \
+        .select_columns(["doc_id", "text"])
+
+    if use_lsh:
+        from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
+
+        def _with_url(t: pa.Table) -> pa.Table:
+            url = pc.binary_join_element_wise(
+                pa.array(["doc://"] * len(t)),
+                pc.cast(t["doc_id"], pa.string()), "")
+            return pa.table({"doc_id": t["doc_id"], "url": url,
+                             "text": t["text"]})
+
+        near = find_duplicates(
+            winners.map_batches(_with_url, batch_format="pyarrow"), cfg,
+            passes=("minhash",))
+    else:
+        from fuzzy_matcher_ray.pipelines.dedup import jaccard_allpairs_clusters
+        near = jaccard_allpairs_clusters(winners, cfg)
+
+    # near is keyed by winner id — align the key name so the attach joins
+    # w == w (a right side whose key shadows a left data column would
+    # collide in the shuffle-join path)
+    near_w = near.map_batches(
+        lambda t: pa.table({"w": t["doc_id"], "cluster_id": t["cluster_id"]}),
+        batch_format="pyarrow")
+    labeled = attach_columns(doc_w, near_w, "w", "w",
+                             {"cluster_id": "cluster_id"}, how="inner")
+
+    def _tier(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        tier = pc.if_else(
+            pc.equal(ids, t["cluster_id"]), pa.scalar("keep"),
+            pc.if_else(pc.equal(ids, t["w"]), pa.scalar("near"),
+                       pa.scalar("exact")))
+        return pa.table({"doc_id": ids, "cluster_id": t["cluster_id"],
+                         "tier": tier})
+
+    return labeled.map_batches(_tier, batch_format="pyarrow").sort("doc_id")
+
+
+def tier_counts(sf_dir: str, cfg: PipelineConfig | None = None):
+    """(tier, n_docs) — the cascade's elimination funnel (how much each
+    tier removed; ``keep`` is the surviving corpus size). One slim groupby
+    over the labels."""
+    from ray.data.aggregate import Count
+
+    labels = tiered_dedup(sf_dir, cfg)
+    return labels.groupby("tier").aggregate(
+        Count("doc_id", alias_name="n_docs")).sort("tier")
+
+
+def soft_dedup_weights(sf_dir: str, cfg: PipelineConfig | None = None):
+    """(doc_id, weight): weight = 1 / |final tiered cluster| — keep every
+    copy but down-weight it so each duplicate cluster contributes exactly
+    one document's worth of training mass (the drop-free alternative the
+    soft-dedup literature trains on), up to float rounding. The weight
+    itself is exactly-reproducible float64: one IEEE division of the same
+    int64 on both engines."""
+    from ray.data.aggregate import Count
+
+    from fuzzy_matcher_ray.stages.joins import attach_columns
+
+    labels = tiered_dedup(sf_dir, cfg).materialize()
+    sizes = labels.groupby("cluster_id").aggregate(
+        Count("doc_id", alias_name="n"))
+    sized = attach_columns(labels.select_columns(["doc_id", "cluster_id"]),
+                           sizes, "cluster_id", "cluster_id", {"n": "n"},
+                           how="inner")
+
+    def _w(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "weight": pa.array(1.0 / n)})
+
+    return sized.map_batches(_w, batch_format="pyarrow").sort("doc_id")

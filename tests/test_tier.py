@@ -1,0 +1,94 @@
+"""Tiered-dedup cascade: planted-fixture oracles for the tier labels, the
+final clusters, the exact≡LSH near-tier parity, and the soft weights.
+
+The driver contract (test_entry_contract / CORRECTNESS rows) hash-checks
+``tiered_dedup`` and ``soft_dedup_weights`` against the composed DuckDB
+oracle at sf0.01 — where the synthetic corpus has near-dups but no exact
+dups — so THIS file plants the exact-tier cases: byte-identical copies
+after normalization, and short documents (normalized length < the shingle
+width) that only the exact tier can deduplicate."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from fuzzy_matcher_ray.pipelines.tier import (soft_dedup_weights,
+                                              tier_counts, tiered_dedup)
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "from the river today")
+
+
+@pytest.fixture()
+def corpus(tmp_path):
+    docs = {
+        1: BASE,                       # keep — leads the near cluster
+        2: BASE + " x",                # near-dup of 1 (Jaccard ≈ n/(n+1))
+        3: "abc",                      # keep — too short to shingle
+        4: "A b-c!",                   # normalizes to "abc": exact dup of 3
+        5: "totally different unique document content right here",  # keep
+        6: "The QUICK brown fox jumps over the lazy dog, and runs far "
+           "away from the river today!",  # exact dup of 1 after normalize
+        7: None,                       # null text ≡ empty doc
+        8: "",                         # exact dup of 7 under the null rule
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+EXPECT_CLUSTER = {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 1, 7: 7, 8: 7}
+EXPECT_TIER = {1: "keep", 2: "near", 3: "keep", 4: "exact", 5: "keep",
+               6: "exact", 7: "keep", 8: "exact"}
+
+
+def test_tiered_labels_and_clusters(ray_session, corpus):
+    got = tiered_dedup(corpus).to_pandas()
+    assert dict(zip(got.doc_id, got.cluster_id)) == EXPECT_CLUSTER
+    assert dict(zip(got.doc_id, got.tier)) == EXPECT_TIER
+
+
+def test_tiered_lsh_path_matches_exact(ray_session, corpus):
+    exact = tiered_dedup(corpus).to_pandas()
+    lsh = tiered_dedup(corpus, use_lsh=True).to_pandas()
+    assert exact.equals(lsh)
+
+
+def test_tier_counts_funnel(ray_session, corpus):
+    got = tier_counts(corpus).to_pandas()
+    assert dict(zip(got.tier, got.n_docs)) == {"exact": 3, "keep": 4,
+                                               "near": 1}
+
+
+def test_soft_dedup_weights(ray_session, corpus):
+    got = soft_dedup_weights(corpus).to_pandas()
+    w = dict(zip(got.doc_id, got.weight))
+    assert w == {1: 1 / 3, 2: 1 / 3, 6: 1 / 3, 3: 0.5, 4: 0.5, 5: 1.0,
+                 7: 0.5, 8: 0.5}
+    # per final cluster the mass is one document's worth (float rounding)
+    labels = tiered_dedup(corpus).to_pandas()
+    merged = labels.merge(got, on="doc_id")
+    sums = merged.groupby("cluster_id").weight.sum()
+    assert np.allclose(sums.values, 1.0)
+
+
+def test_short_docs_dedup_only_via_exact_tier(ray_session, corpus):
+    """docs 3/4 share normalized text 'abc' (length 3 < shingle width 5):
+    the pure all-pairs Jaccard pass cannot connect them — the tiered
+    cascade must (its exact tier runs first)."""
+    from fuzzy_matcher_ray.pipelines.dedup import jaccard_allpairs_clusters
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{corpus}/documents.parquet",
+                           columns=["doc_id", "text"])
+    brute = jaccard_allpairs_clusters(docs).to_pandas()
+    b = dict(zip(brute.doc_id, brute.cluster_id))
+    assert b[3] != b[4] or b[3] == 3 and b[4] == 4  # brute keeps them apart
+    assert b[4] == 4
+    tier = tiered_dedup(corpus).to_pandas()
+    t = dict(zip(tier.doc_id, tier.cluster_id))
+    assert t[3] == t[4] == 3
