@@ -52,24 +52,61 @@ def _docs(sf_dir: str):
 
 def _doc_winner(sf_dir: str):
     """(doc_id, w): w = min doc_id sharing this doc's normalized text
-    (nulls ≡ empty, the shared dedup-gate rule). One groupby + attach,
-    both on the norm-text key."""
+    (nulls ≡ empty, the shared dedup-gate rule).
+
+    Keys are the shared 128-bit content hash (two independent 64-bit
+    halves, collision ~2^-128 — the exact_dup_edges convention), so only
+    24 B/row ever enters an exchange: the full normalized text never
+    leaves the batch that computed it. Small corpora take the same
+    driver fast path as exact_dup_edges (lexsort + segment-min, forced
+    onto the distributed twin by FMR_DRIVER_EXPLODE_MAX_ROWS=0); at
+    scale it is ONE slim groupby + ONE slim hash join on the same key.
+    """
     from ray.data.aggregate import Min
 
-    from fuzzy_matcher_ray.stages.joins import attach_columns
+    from fuzzy_matcher_ray.functions.fingerprint import content_hash
+    from fuzzy_matcher_ray.stages.candidates import DRIVER_EXPLODE_MAX_ROWS
+    from fuzzy_matcher_ray.stages.joins import (JOIN_AGG_ARGS,
+                                                effective_partitions)
 
-    def _norm(t: pa.Table) -> pa.Table:
+    def _key(t: pa.Table) -> pa.Table:
+        norm = pc.fill_null(normalize_array(t["text"]), "")
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
         return pa.table({
             "doc_id": t["doc_id"],
-            "norm_text": pc.fill_null(normalize_array(t["text"]), "")})
+            "h1": pa.array(content_hash(norm).view(np.int64)),
+            "h2": pa.array(content_hash(norm, seed=0x5F3759DF).view(np.int64)),
+        })
 
-    # two consumers (groupby + attach probe side) — pin the normalize pass
-    normed = _docs(sf_dir).map_batches(_norm, batch_format="pyarrow") \
-                          .materialize()
-    reps = normed.groupby("norm_text").aggregate(
-        Min("doc_id", alias_name="w"))
-    out = attach_columns(normed, reps, "norm_text", "norm_text",
-                         {"w": "w"}, how="inner")
+    keyed = _docs(sf_dir).map_batches(_key, batch_format="pyarrow") \
+                         .materialize()
+    if keyed.count() <= DRIVER_EXPLODE_MAX_ROWS:
+        parts = list(keyed.iter_batches(batch_size=1 << 20,
+                                        batch_format="pyarrow"))
+        if not parts:
+            return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                           "w": pa.array([], pa.int64())}))
+        t = pa.concat_tables(parts)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h1 = t["h1"].to_numpy(zero_copy_only=False)
+        h2 = t["h2"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h2, h1))
+        ids_s, h1_s, h2_s = ids[order], h1[order], h2[order]
+        brk = np.empty(len(ids_s), dtype=bool)
+        brk[0] = True
+        brk[1:] = (h1_s[1:] != h1_s[:-1]) | (h2_s[1:] != h2_s[:-1])
+        w = ids_s[np.nonzero(brk)[0]][np.cumsum(brk) - 1]
+        return rd.from_arrow(pa.table({"doc_id": pa.array(ids_s),
+                                       "w": pa.array(w)}))
+    reps = keyed.groupby(["h1", "h2"]).aggregate(
+        Min("doc_id", alias_name="w")).materialize()
+    P = effective_partitions(32)
+    if reps.count() < 100 * P:
+        # Ray 2.49 schema-less empty-block join guard (see stages/joins)
+        reps = reps.repartition(2)
+    out = keyed.join(reps, "inner", P, on=("h1", "h2"),
+                     aggregator_ray_remote_args=JOIN_AGG_ARGS)
     return out.select_columns(["doc_id", "w"])
 
 
@@ -93,9 +130,11 @@ def tiered_dedup(sf_dir: str, cfg: PipelineConfig | None = None,
             "_k": pa.array(np.ones(len(t), np.int8)),
         }).filter(pc.equal(t["doc_id"], t["w"])),
         batch_format="pyarrow")
+    # materialized: the near tier consumes it more than once (normalize +
+    # output join inside find_duplicates) — survivors-with-text is slim
     winners = attach_columns(_docs(sf_dir), winner_ids, "doc_id", "doc_id",
                              {"_k": "_k"}, how="inner") \
-        .select_columns(["doc_id", "text"])
+        .select_columns(["doc_id", "text"]).materialize()
 
     if use_lsh:
         from fuzzy_matcher_ray.pipelines.dedup import find_duplicates
@@ -117,9 +156,11 @@ def tiered_dedup(sf_dir: str, cfg: PipelineConfig | None = None,
     # near is keyed by winner id — align the key name so the attach joins
     # w == w (a right side whose key shadows a left data column would
     # collide in the shuffle-join path)
+    # materialized: attach_columns counts its right side before joining —
+    # without the pin the whole near-tier pipeline would execute twice
     near_w = near.map_batches(
         lambda t: pa.table({"w": t["doc_id"], "cluster_id": t["cluster_id"]}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
     labeled = attach_columns(doc_w, near_w, "w", "w",
                              {"cluster_id": "cluster_id"}, how="inner")
 
