@@ -249,6 +249,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": textops.sample_stratified,
         # --- flagship dedup (rows-only; pytest brute-force oracle) ---
         "dedup_full": flagship,
+        # per-pass elimination funnel over the flagship cascade (exact →
+        # minhash → simhash → substring): docs credited to the FIRST pass
+        # whose prefix union eliminates them. LSH/winnowing ⇒ rows-only;
+        # planted per-pass oracles + sum/monotonicity in tests/test_tier.py
+        "dup_funnel": _tier.dup_funnel,
         # the north-rule acceptance metric applied to the flagship itself
         # (engine under test ⇒ rows-only; recall gate asserted in
         # tests/test_evaluation.py). NOT named dedup_*: the harness pins

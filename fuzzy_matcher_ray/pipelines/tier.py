@@ -187,6 +187,73 @@ def tier_counts(sf_dir: str, cfg: PipelineConfig | None = None):
         Count("doc_id", alias_name="n_docs")).sort("tier")
 
 
+def dup_funnel(sf_dir: str, cfg: PipelineConfig | None = None,
+               passes: tuple = ("exact", "minhash", "simhash", "substring")):
+    """(pass, n_removed): docs NEWLY eliminated by each flagship pass, in
+    cascade order, plus the final ``('keep', n_survivors)`` row — the
+    per-pass refinement of ``tier_counts`` over find_duplicates' own edge
+    builders (exact semantics: TIER_SKIP docs are never dedup candidates,
+    exactly as the flagship).
+
+    A doc counts as removed at the FIRST pass whose edge union (all
+    passes so far) connects it to a lower-id doc; later passes only get
+    credit for docs no earlier pass had already eliminated — so rows are
+    non-negative and sum to the corpus size. This is the lineage report a
+    curation run reads to decide which pass earns its cost on a given
+    corpus (e.g. substring rarely pays on short-doc corpora).
+
+    Cost: the passes' edge builders run once each (shared normalize +
+    signature artifacts, exactly the flagship's sharing), plus one slim
+    union-find per CASCADE PREFIX — len(passes) clusterings over edge
+    lists, never over documents. Driver-side iteration is over the ≤4
+    pass names, not data. Not SQL-expressible (LSH/SimHash/winnowing) —
+    rows-only contract + planted pytest oracles."""
+    from fuzzy_matcher_ray.pipelines.dedup import (_edges_only,
+                                                   exact_dup_edges,
+                                                   minhash_edges,
+                                                   signature_table,
+                                                   simhash_edges,
+                                                   substring_edges)
+    from fuzzy_matcher_ray.stages.candidates import dedup_pairs
+    from fuzzy_matcher_ray.stages.cluster import cluster_edges
+    from fuzzy_matcher_ray.stages.normalize_stage import normalized_docs
+
+    cfg = cfg or PipelineConfig()
+    norm = normalized_docs(_docs(sf_dir), cfg).materialize()
+    sigs = None
+    if "minhash" in passes or "simhash" in passes:
+        sigs = signature_table(norm, cfg).materialize()
+    builders = {
+        "exact": lambda: exact_dup_edges(norm, cfg),
+        "minhash": lambda: _edges_only(minhash_edges(norm, cfg, sigs=sigs)),
+        "simhash": lambda: _edges_only(simhash_edges(norm, cfg, sigs=sigs)),
+        "substring": lambda: _edges_only(substring_edges(norm, cfg)),
+    }
+    ids = norm.select_columns(["doc_id"]).materialize()
+    n_docs = ids.count()
+
+    def _n_removed(clusters) -> int:
+        return clusters.map_batches(
+            lambda t: t.filter(pc.not_equal(t["doc_id"], t["cluster_id"])),
+            batch_format="pyarrow").count()
+
+    prefix = None
+    prev = 0
+    names, removed = [], []
+    for p in passes:
+        e = builders[p]().materialize()
+        prefix = e if prefix is None else prefix.union(e).materialize()
+        n_rm = _n_removed(cluster_edges(dedup_pairs(prefix), ids, cfg))
+        names.append(p)
+        removed.append(n_rm - prev)
+        prev = n_rm
+    names.append("keep")
+    removed.append(n_docs - prev)
+    return rd.from_arrow(pa.table({
+        "pass": pa.array(names, pa.string()),
+        "n_removed": pa.array(removed, pa.int64())}))
+
+
 def soft_dedup_weights(sf_dir: str, cfg: PipelineConfig | None = None):
     """(doc_id, weight): weight = 1 / |final tiered cluster| — keep every
     copy but down-weight it so each duplicate cluster contributes exactly

@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from fuzzy_matcher_ray.pipelines.tier import (soft_dedup_weights,
+from fuzzy_matcher_ray.pipelines.tier import (dup_funnel, soft_dedup_weights,
                                               tier_counts, tiered_dedup)
 
 BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
@@ -74,6 +74,72 @@ def test_soft_dedup_weights(ray_session, corpus):
     merged = labels.merge(got, on="doc_id")
     sums = merged.groupby("cluster_id").weight.sum()
     assert np.allclose(sums.values, 1.0)
+
+
+@pytest.fixture()
+def funnel_corpus(tmp_path):
+    """One planted case per cascade pass: exact copies (E/F and a short
+    pair under min_text_len), a high-Jaccard near-dup (C/D), and a pair
+    sharing one >=200-char block inside otherwise-disjoint text (A/B:
+    char-5-gram Jaccard ~0.3 — far below the 0.8 minhash threshold, only
+    the substring pass can connect them)."""
+    shared = ("common boilerplate navigation header that both pages carry "
+              "verbatim character for character including this very long "
+              "sentence which runs well past the two hundred character "
+              "winnowing guarantee so the fingerprint pass must fire here "
+              "because normalization strips the spaces and the shared "
+              "block must stay over the minimum afterwards too")
+    import pyarrow as _pa
+
+    from fuzzy_matcher_ray.functions.normalize import normalize_array
+    assert len(normalize_array(_pa.array([shared]))[0].as_py()) >= 250
+    ua = ("page one body discusses entirely maritime topics harbors tides "
+          "lighthouses gulls anchors and the slow rust of iron hulls in "
+          "salt water over decades of neglect and repair cycles")
+    ub = ("page two body covers alpine meadows marmots glaciers scree "
+          "slopes and the silence above the treeline where weather turns "
+          "without warning and paths vanish under early snowfall")
+    near = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away from the river today toward the distant hills beyond")
+    docs = {
+        1: ua + " " + shared,            # A — keep (substring cluster rep)
+        2: ub + " " + shared,            # B — removed by substring
+        3: near,                         # C — keep (near cluster rep)
+        4: near + " x",                  # D — removed by minhash
+        5: "unique standalone document about nothing in particular",  # keep
+        6: "Unique standalone document about nothing in particular!",
+        #                                 ^ exact dup of 5 after normalize
+        7: "tiny doc",                   # keep (exact-only tier, < 20 chars)
+        8: "Tiny DOC",                   # exact dup of 7
+    }
+    tbl = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([docs[k] for k in sorted(docs)], pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dup_funnel_planted(ray_session, funnel_corpus):
+    got = dup_funnel(funnel_corpus).to_pandas()
+    f = dict(zip(got["pass"], got.n_removed))
+    assert f["exact"] == 2          # docs 6 and 8
+    assert f["minhash"] == 1        # doc 4
+    assert f["substring"] == 1      # doc 2 — only the long shared block
+    assert f["simhash"] == 0        # nothing left for the backstop here
+    assert f["keep"] == 4
+    assert (got.n_removed >= 0).all()
+    assert got.n_removed.sum() == 8
+    # cascade order then keep
+    assert list(got["pass"]) == ["exact", "minhash", "simhash",
+                                 "substring", "keep"]
+
+
+def test_dup_funnel_pass_subset(ray_session, funnel_corpus):
+    """Without the substring pass its doc survives; totals still sum."""
+    got = dup_funnel(funnel_corpus, passes=("exact", "minhash")).to_pandas()
+    f = dict(zip(got["pass"], got.n_removed))
+    assert f == {"exact": 2, "minhash": 1, "keep": 5}
 
 
 def test_short_docs_dedup_only_via_exact_tier(ray_session, corpus):
