@@ -193,7 +193,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_doc_logprob": relevance.unigram_doc_logprob,
         "ccnet_buckets": relevance.ccnet_buckets,
         "shuffle_epoch": textops.shuffle_epoch,
-        "topk_per_source": textops.topk_per_source,
+        # NEW r5 session 4: quality-aware cluster representatives (keep
+        # the LONGEST member per tiered cluster, not the min id — what a
+        # production curation run keeps). In-cap in trade for
+        # topk_per_source (r4 hash-green; its grouped_topk kernel is
+        # exercised by this very row with k=1)
+        "keep_best_representatives": _tier.keep_best_representatives,
         # --- tiered dedup cascade (NEW r5 session 2, SQL-checked): the
         #     exact → near cascade with per-doc elimination labels, and
         #     the soft (down-weight, don't drop) alternative. In-cap in
@@ -234,6 +239,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kernels unchanged since
         "revenue_by_nation": analytics.revenue_by_nation,
         "pricing_summary": analytics.pricing_summary,
+        # rotated below in the r5 session-4 trade for
+        # keep_best_representatives: r4 hash-green, and its grouped_topk
+        # kernel is exercised in-cap by the new row (k=1 path) — still
+        # oracle-checked every pytest run by test_entry_contract
+        "topk_per_source": textops.topk_per_source,
         # the tiered cascade's elimination funnel (kernel ⊂ tiered_dedup,
         # which is in-cap; this slim rollup is oracle-checked every pytest
         # run by test_entry_contract)
@@ -713,6 +723,22 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'exact' END AS tier
             FROM wm JOIN clus ON clus.w_id = wm.w
             ORDER BY doc_id""",
+        # quality-aware representatives: per final tiered cluster the
+        # member with the longest RAW text (chars; nulls ≡ 0), ties →
+        # min doc_id — the grouped_topk(k=1) selection as one window
+        "keep_best_representatives": f"""
+            WITH RECURSIVE {_TIER_BODY},
+            final AS (SELECT wm.doc_id, clus.cluster_id::BIGINT AS cluster_id
+                      FROM wm JOIN clus ON clus.w_id = wm.w),
+            scored AS (SELECT f.cluster_id, f.doc_id,
+                              coalesce(length(d.text), 0)::BIGINT
+                                  AS quality_len
+                       FROM final f JOIN documents d
+                         ON d.doc_id = f.doc_id)
+            SELECT cluster_id, doc_id, quality_len FROM scored
+            QUALIFY row_number() OVER (PARTITION BY cluster_id
+                     ORDER BY quality_len DESC, doc_id) = 1
+            ORDER BY cluster_id""",
         "soft_dedup_weights": f"""
             WITH RECURSIVE {_TIER_BODY},
             final AS (SELECT wm.doc_id, clus.cluster_id

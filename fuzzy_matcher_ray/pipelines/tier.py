@@ -254,6 +254,46 @@ def dup_funnel(sf_dir: str, cfg: PipelineConfig | None = None,
         "n_removed": pa.array(removed, pa.int64())}))
 
 
+def keep_best_representatives(sf_dir: str, cfg: PipelineConfig | None = None,
+                              use_lsh: bool = False):
+    """(cluster_id, doc_id, quality_len): per FINAL tiered cluster, the
+    member with the longest raw text (ties → min doc_id) — the
+    quality-aware alternative to the min-id representative convention.
+
+    Production curation keeps the *best* copy of a duplicate group (the
+    canonical page, the longest extraction), not the one with the lowest
+    id; this operator composes the tiered cascade with that selection.
+    Quality here is raw character length (``utf8_length``, nulls ≡ 0) —
+    deterministic, oracle-expressible, and a reasonable proxy at crawl
+    scale; swap the score column for any per-doc quality signal (e.g.
+    ``text_quality``'s score) without touching the selection kernel.
+
+    At 100 TB: quality is a per-batch map over the pruned (doc_id, text)
+    read; selection is ``grouped_topk`` (k=1) over slim
+    (cluster_id, quality_len, doc_id) rows — a bounded-residue partial
+    pass then one slim sort + stamp, never a per-group dispatch.
+    ``use_lsh=True`` swaps the near tier onto the banded MinHash passes,
+    exactly as ``tiered_dedup``.
+    """
+    from fuzzy_matcher_ray.stages.joins import attach_columns
+    from fuzzy_matcher_ray.stages.ranks import grouped_topk
+
+    labels = tiered_dedup(sf_dir, cfg, use_lsh=use_lsh) \
+        .select_columns(["doc_id", "cluster_id"])
+
+    def _score(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.utf8_length(t["text"]), 0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "quality_len": pc.cast(n, pa.int64())})
+
+    scores = _docs(sf_dir).map_batches(_score, batch_format="pyarrow")
+    scored = attach_columns(labels, scores, "doc_id", "doc_id",
+                            {"quality_len": "quality_len"}, how="inner")
+    best = grouped_topk(scored, "cluster_id", "quality_len", "doc_id", k=1)
+    return best.select_columns(["cluster_id", "doc_id", "quality_len"]) \
+               .sort("cluster_id")
+
+
 def soft_dedup_weights(sf_dir: str, cfg: PipelineConfig | None = None):
     """(doc_id, weight): weight = 1 / |final tiered cluster| — keep every
     copy but down-weight it so each duplicate cluster contributes exactly

@@ -27,6 +27,8 @@ DOC_QUERIES = [
     "host_dup_stats", "quality_prune", "mix_epochs", "contamination_scores",
     "neardup_contamination", "boilerplate_prune", "pack_sequences",
     "agreement_thresholds", "ccnet_buckets",
+    "tiered_dedup", "soft_dedup_weights", "tier_counts",
+    "keep_best_representatives",
 ]
 
 

@@ -13,8 +13,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from fuzzy_matcher_ray.pipelines.tier import (dup_funnel, soft_dedup_weights,
-                                              tier_counts, tiered_dedup)
+from fuzzy_matcher_ray.pipelines.tier import (dup_funnel,
+                                              keep_best_representatives,
+                                              soft_dedup_weights, tier_counts,
+                                              tiered_dedup)
 
 BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
         "from the river today")
@@ -74,6 +76,30 @@ def test_soft_dedup_weights(ray_session, corpus):
     merged = labels.merge(got, on="doc_id")
     sums = merged.groupby("cluster_id").weight.sum()
     assert np.allclose(sums.values, 1.0)
+
+
+def test_keep_best_representatives(ray_session, corpus):
+    """Per final tiered cluster: the longest RAW text wins (docs 4 and 2/6
+    beat their min-id cluster mates), ties break to min doc_id (2 vs 6
+    are both len(BASE)+2; null and '' are both 0)."""
+    got = keep_best_representatives(corpus).to_pandas()
+    best = {r.cluster_id: (r.doc_id, r.quality_len)
+            for r in got.itertuples()}
+    assert best == {
+        1: (2, len(BASE) + 2),   # tie with doc 6 → min doc_id
+        3: (4, 6),               # raw "A b-c!" beats raw "abc"
+        5: (5, len("totally different unique document content right here")),
+        7: (7, 0),               # null ≡ '' ≡ length 0, tie → 7
+    }
+    # one representative per cluster, clusters match the cascade's
+    assert sorted(got.cluster_id) == sorted(
+        set(EXPECT_CLUSTER.values()))
+
+
+def test_keep_best_lsh_path_matches_exact(ray_session, corpus):
+    exact = keep_best_representatives(corpus).to_pandas()
+    lsh = keep_best_representatives(corpus, use_lsh=True).to_pandas()
+    assert exact.equals(lsh)
 
 
 @pytest.fixture()
