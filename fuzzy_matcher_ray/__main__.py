@@ -141,7 +141,8 @@ def cmd_curate(args) -> dict:
     t0 = time.perf_counter()
     out = curate_corpus(args.sf_dir, checkpoint_root=args.checkpoint,
                         window=args.window, keep_buckets=args.keep_buckets,
-                        neardup=args.neardup)
+                        neardup=args.neardup,
+                        representative=args.representative)
     write_atomic(out, args.output)
     wall = time.perf_counter() - t0
     n = _rows_written(args.output)
@@ -308,6 +309,10 @@ def main(argv=None) -> int:
                    help="stage-artifact root; rerun with the same root "
                         "resumes from the last completed stage")
     c.add_argument("--neardup", choices=["lsh", "exact"], default="lsh")
+    c.add_argument("--representative", choices=["min", "best"],
+                   default="min",
+                   help="dup-cluster member to keep: lowest doc_id (the "
+                        "contract convention) or the longest raw text")
     c.add_argument("--window", type=int, default=64)
     c.add_argument("--keep-buckets", type=int, default=2)
     c.set_defaults(fn=cmd_curate)

@@ -74,12 +74,41 @@ def _keep(docs, ids):
     return out.select_columns([c for c in out.schema().names if c != "_k"])
 
 
-def _exact_winners(docs):
-    """Min doc_id per normalized text (same normalize + null==empty rule
-    as ``textops.exact_dedup_first``), over an explicit Dataset."""
+def _exact_winners(docs, representative: str = "min"):
+    """Winner doc_id per normalized text (same normalize + null==empty
+    rule as ``textops.exact_dedup_first``), over an explicit Dataset.
+
+    ``representative="min"`` keeps the lowest doc_id (the contract
+    convention); ``"best"`` keeps the member with the longest RAW text
+    (ties → min doc_id) — the quality-aware selection of
+    ``tier.keep_best_representatives``. Either way only slim rows enter
+    the exchange: "min" groups on the normalized string, "best" keys on
+    the 128-bit content hash and rides ``grouped_topk`` (k=1)."""
     from ray.data.aggregate import Min
 
     from fuzzy_matcher_ray.functions.normalize import normalize_array
+
+    if representative == "best":
+        from fuzzy_matcher_ray.functions.fingerprint import content_hash
+        from fuzzy_matcher_ray.stages.ranks import grouped_topk
+
+        def _key(t: pa.Table) -> pa.Table:
+            norm = pc.fill_null(normalize_array(t["text"]), "")
+            if isinstance(norm, pa.ChunkedArray):
+                norm = norm.combine_chunks()
+            h1 = content_hash(norm).view(np.int64)
+            h2 = content_hash(norm, seed=0x5F3759DF).view(np.int64)
+            key = pc.binary_join_element_wise(
+                pc.cast(pa.array(h1), pa.string()),
+                pc.cast(pa.array(h2), pa.string()), ":")
+            qlen = pc.cast(pc.fill_null(pc.utf8_length(t["text"]), 0),
+                           pa.int64())
+            return pa.table({"doc_id": t["doc_id"], "key": key,
+                             "quality_len": qlen})
+
+        keyed = docs.map_batches(_key, batch_format="pyarrow")
+        best = grouped_topk(keyed, "key", "quality_len", "doc_id", k=1)
+        return best.select_columns(["doc_id"]).sort("doc_id")
 
     def _norm(t: pa.Table) -> pa.Table:
         return pa.table({
@@ -92,7 +121,7 @@ def _exact_winners(docs):
     return kept.select_columns(["doc_id"]).sort("doc_id")
 
 
-def _near_winners(docs, strategy: str):
+def _near_winners(docs, strategy: str, representative: str = "min"):
     """Near-dup winners (min doc_id per Jaccard cluster) over a Dataset.
 
     ``docs`` must carry (doc_id, text); consumed twice (shingle pass +
@@ -118,6 +147,24 @@ def _near_winners(docs, strategy: str):
             passes=("minhash",))
     else:
         raise ValueError(f"unknown neardup strategy {strategy!r}")
+    if representative == "best":
+        # longest-raw-text member per near cluster (ties → min doc_id):
+        # the keep_best_representatives selection, k=1 grouped_topk over
+        # slim (cluster_id, quality_len, doc_id) rows
+        from fuzzy_matcher_ray.stages.joins import attach_columns
+        from fuzzy_matcher_ray.stages.ranks import grouped_topk
+
+        def _score(t: pa.Table) -> pa.Table:
+            qlen = pc.cast(pc.fill_null(pc.utf8_length(t["text"]), 0),
+                           pa.int64())
+            return pa.table({"doc_id": t["doc_id"], "quality_len": qlen})
+
+        scored = attach_columns(
+            clusters, docs.map_batches(_score, batch_format="pyarrow"),
+            "doc_id", "doc_id", {"quality_len": "quality_len"}, how="inner")
+        best = grouped_topk(scored, "cluster_id", "quality_len", "doc_id",
+                            k=1)
+        return best.select_columns(["doc_id"]).sort("doc_id")
     winners = clusters.map_batches(
         lambda t: t.filter(pc.equal(t["doc_id"], t["cluster_id"])),
         batch_format="pyarrow")
@@ -178,20 +225,29 @@ def _pack_mixed(mixed_tc, window: int):
 def curate_corpus(sf_dir: str, checkpoint_root: str | None = None,
                   window: int = PACK_WINDOW, k_buckets: int = 3,
                   keep_buckets: int = 2, neardup: str = "exact",
-                  n_eval: int = 20):
+                  n_eval: int = 20, representative: str = "min"):
     """Run the full curation chain; returns the packed-sequence Dataset
     (seq_id, doc_id, copy_idx, tok_start, tok_end), sorted.
 
     With ``checkpoint_root`` every stage writes a manifest+parquet
     artifact; a rerun (same config) resumes from the last completed stage
     — kill the process anywhere and re-call to continue.
+
+    ``representative="best"`` keeps the longest-raw-text member of every
+    exact/near dup cluster instead of the min-id one (what a production
+    run keeps — see ``tier.keep_best_representatives``); the default
+    "min" is the oracle-checked contract convention.
     """
     from fuzzy_matcher_ray.pipelines.textops import mix_epochs_ds
     from fuzzy_matcher_ray.pipelines.webtext import (decontaminate_ds,
                                                      quality_filter_ds)
 
+    if representative not in ("min", "best"):
+        raise ValueError(f"unknown representative {representative!r}")
+    # "min" keeps the historical hash so existing checkpoints stay valid
+    rep_tag = "" if representative == "min" else f"|rep={representative}"
     desc = (f"curate-v1|w={window}|k={k_buckets}|keep={keep_buckets}"
-            f"|nd={neardup}|ev={n_eval}")
+            f"|nd={neardup}|ev={n_eval}{rep_tag}")
     chash = hashlib.sha256(desc.encode()).hexdigest()[:16]
     ck = (Checkpointer(checkpoint_root, chash) if checkpoint_root
           else Checkpointer("/tmp/fmr-curate-disabled", chash,
@@ -203,11 +259,13 @@ def curate_corpus(sf_dir: str, checkpoint_root: str | None = None,
     exact = ck.stage(
         "s2_exact",
         lambda: _exact_winners(
-            _keep(_read(sf_dir, ["doc_id", "text"]), quality)))
+            _keep(_read(sf_dir, ["doc_id", "text"]), quality),
+            representative))
     near = ck.stage(
         "s3_neardup",
         lambda: _near_winners(
-            _keep(_read(sf_dir, ["doc_id", "text"]), exact), neardup))
+            _keep(_read(sf_dir, ["doc_id", "text"]), exact), neardup,
+            representative))
     decon = ck.stage(
         "s4_decontam",
         lambda: decontaminate_ds(

@@ -144,3 +144,45 @@ def test_curation_eval_only_corpus(ray_session, tmp_path):
     pq.write_table(tbl, str(tmp_path / "documents.parquet"))
     out = curate_corpus(str(tmp_path)).to_pandas()
     assert len(out) == 0
+
+
+def test_curation_representative_best(ray_session, tmp_path):
+    """representative="best": the winner helpers keep the LONGEST raw
+    member per exact/near cluster (not min id); the composed chain runs
+    deterministically under the option, and a checkpoint root written by
+    a "min" run is invalidated (config-hash) rather than reused."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.pipelines import curate
+
+    near = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away from the river today")
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "some unique base document text right here",
+            "SOME unique BASE document text right here!!!",  # exact dup of 1
+            near,
+            near + " ok",                                    # near dup of 3
+            "another standalone unique document entirely",
+        ])}))
+    ex = curate._exact_winners(docs, "best").to_pandas().doc_id.tolist()
+    assert 2 in ex and 1 not in ex          # longer raw copy wins
+    assert {3, 4, 5} <= set(ex)             # non-dups untouched
+    nw = curate._near_winners(docs, "exact", "best") \
+        .to_pandas().doc_id.tolist()
+    assert 4 in nw and 3 not in nw          # longer near-dup member wins
+
+    # composed chain: runs, deterministic, and a min-run checkpoint root
+    # is NOT silently reused (different config hash -> rebuild)
+    root = str(tmp_path / "ck")
+    base_min = curate.curate_corpus(SF_SMALL, checkpoint_root=root) \
+        .to_pandas()
+    fresh_best = curate.curate_corpus(
+        SF_SMALL, representative="best").to_pandas()
+    resumed_best = curate.curate_corpus(
+        SF_SMALL, checkpoint_root=root, representative="best").to_pandas()
+    assert len(fresh_best) > 0
+    assert resumed_best.values.tolist() == fresh_best.values.tolist()
+    assert len(base_min) > 0
