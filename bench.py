@@ -245,6 +245,13 @@ def run_bench() -> dict:
     _tier.tiered_dedup(SF_DIR, use_lsh=True).count()
     queries["tiered_dedup_lsh"] = round(time.perf_counter() - t0, 3)
 
+    # quality-aware representatives over the same cascade (LSH near
+    # tier): the grouped_topk(k=1) selection added on top
+    t0 = time.perf_counter()
+    _tier.keep_best_representatives(SF_DIR, use_lsh=True).count()
+    queries["keep_best_representatives_lsh"] = round(
+        time.perf_counter() - t0, 3)
+
     from fuzzy_matcher_ray.pipelines import bpe
     t0 = time.perf_counter()
     merges = bpe.bpe_train(SF_DIR, n_merges=32)
