@@ -206,12 +206,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     hash-green on since-unchanged analytics kernels) ---
         "tiered_dedup": _tier.tiered_dedup,
         "soft_dedup_weights": _tier.soft_dedup_weights,
+        # in-cap (r5 session 4) in trade for user_sliding_windows so that
+        # EVERY oracle-backed query has a driver row in r4 ∪ r5 — the
+        # sliding-window kernel stays covered in-cap by
+        # user_hourly_windows (same window machinery, r4 hash-green)
+        "tier_counts": _tier.tier_counts,
         "agreement_thresholds": _evaluation.agreement_thresholds,
         # --- events / streaming-shaped (SQL-checked) ---
         "events_alive_by_type": ev.events_alive_by_type,
         "user_hourly_windows": ev.user_hourly_windows,
         "user_sessions": ev.user_sessions,
-        "user_sliding_windows": ev.user_sliding_windows,
         "asof_latest_prior": ev.asof_latest_prior,
         "range_join_count": ev.range_join_count,
         "value_quantiles": ev.value_quantiles,
@@ -244,10 +248,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kernel is exercised in-cap by the new row (k=1 path) — still
         # oracle-checked every pytest run by test_entry_contract
         "topk_per_source": textops.topk_per_source,
-        # the tiered cascade's elimination funnel (kernel ⊂ tiered_dedup,
-        # which is in-cap; this slim rollup is oracle-checked every pytest
-        # run by test_entry_contract)
-        "tier_counts": _tier.tier_counts,
+        # rotated below in the r5 session-4 trade for tier_counts: r4
+        # hash-green, same window machinery as in-cap user_hourly_windows
+        # — still oracle-checked every pytest run by test_entry_contract
+        "user_sliding_windows": ev.user_sliding_windows,
         "cluster_size_histogram": textops.cluster_size_histogram,
         "cluster_representatives": textops.cluster_representatives,
         "token_counts": lambda d: textops.token_counts(d).sort("doc_id"),
