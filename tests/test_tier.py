@@ -184,3 +184,50 @@ def test_short_docs_dedup_only_via_exact_tier(ray_session, corpus):
     tier = tiered_dedup(corpus).to_pandas()
     t = dict(zip(tier.doc_id, tier.cluster_id))
     assert t[3] == t[4] == 3
+
+
+@pytest.mark.parametrize("seed", [3, 17])
+def test_keep_best_invariants_random(ray_session, tmp_path, seed):
+    """Randomized-corpus invariants: exactly one winner per tiered
+    cluster; the winner is a member of its cluster; its quality_len is
+    the cluster's max raw length; ties resolve to the min doc_id among
+    max-length members."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    vocab = ["ash", "birch", "cedar", "dune", "elm", "fjord", "grove"]
+    texts = []
+    for fam in range(25):
+        base = " ".join(rng.choice(vocab, int(rng.integers(8, 25))))
+        for c in range(int(rng.integers(1, 4))):
+            if c == 0:
+                texts.append(base)
+            elif c == 1:
+                texts.append(base.upper() + "!" * int(rng.integers(0, 4)))
+            else:
+                texts.append(base + " ok")
+    # sprinkle null/empty rows
+    texts.extend([None, "", None])
+    d = str(tmp_path)
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    pq.write_table(tbl, f"{d}/documents.parquet")
+
+    from fuzzy_matcher_ray.pipelines.tier import (keep_best_representatives,
+                                                  tiered_dedup)
+    labels = tiered_dedup(d).to_pandas()
+    best = keep_best_representatives(d).to_pandas()
+
+    raw_len = {i: (len(t) if t is not None else 0)
+               for i, t in enumerate(texts)}
+    by_cluster = labels.groupby("cluster_id").doc_id.apply(list).to_dict()
+    assert sorted(best.cluster_id) == sorted(by_cluster)        # one each
+    for r in best.itertuples():
+        members = by_cluster[r.cluster_id]
+        assert r.doc_id in members                              # membership
+        mx = max(raw_len[m] for m in members)
+        assert r.quality_len == mx                              # max length
+        assert r.doc_id == min(m for m in members
+                               if raw_len[m] == mx)             # tie rule
