@@ -433,12 +433,16 @@ def run_scaling_distributed() -> dict:
     }
 
 
-def run_scaling_throughput() -> dict:
+def run_scaling_throughput(distributed: bool = False) -> dict:
     """Cluster-analog THROUGHPUT scaling: 1 shard on an 8-cpu head vs 4
     identical shards on 4 concurrent 8-cpu heads (one box). On a real
     fixed-size cluster, 4x nodes process 4x shards; each head here gets its
     own driver, workers and object store, sharing only the box's memory
     bus — so this isolates hardware contention from engine serialization.
+
+    With ``distributed=True`` each head additionally forces every driver
+    fast path onto its distributed twin (FMR_DRIVER_EXPLODE_MAX_ROWS=0) —
+    the exact code a 100 TB shard runs, in the exact N→4N load pattern.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -447,6 +451,8 @@ def run_scaling_throughput() -> dict:
                    FMR_BENCH_DOCS=str(_SCALING_DOCS),
                    FMR_BENCH_SKIP_SECONDARY="1",
                    RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION="0.05")
+        if distributed:
+            env["FMR_DRIVER_EXPLODE_MAX_ROWS"] = "0"
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
@@ -459,7 +465,8 @@ def run_scaling_throughput() -> dict:
     tput_lo = _SCALING_DOCS / lo["value"]
     tput_hi = 4 * _SCALING_DOCS / wall_hi
     return {
-        "metric": "throughput scaling (4 concurrent 8-cpu shards vs 1)",
+        "metric": "throughput scaling (4 concurrent 8-cpu shards vs 1"
+                  + (", distributed twins forced)" if distributed else ")"),
         "shard_docs": _SCALING_DOCS,
         "sec_lo": lo["value"], "sec_hi_max": wall_hi,
         "sec_hi_each": [r["value"] for r in hi],
@@ -470,7 +477,9 @@ def run_scaling_throughput() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling-throughput" in sys.argv:
+    if "--scaling-throughput-distributed" in sys.argv:
+        print(json.dumps(run_scaling_throughput(distributed=True)))
+    elif "--scaling-throughput" in sys.argv:
         print(json.dumps(run_scaling_throughput()))
     elif "--scaling-distributed" in sys.argv:
         print(json.dumps(run_scaling_distributed()))
