@@ -1042,6 +1042,35 @@ def _prune_clusters(root: str) -> None:
         shutil.rmtree(data_dir)
 
 
+def _prebuild_increment(sroot: str, key: str, ds, cfg: PipelineConfig,
+                        passes: tuple, box: dict) -> None:
+    """Build a shard's fold-INDEPENDENT artifacts ahead of its turn in a
+    ``dedup_sharded`` chain: normalize / signatures / winnow_rows are pure
+    functions of the shard's own text (the builders below are verbatim the
+    ones ``incremental_update`` runs), so they can be computed while the
+    PREVIOUS fold is still linking — the fold's own ``ck.stage`` calls then
+    resume them from the manifest, byte-identically. Best-effort: any
+    failure here simply leaves the fold to (re)build the stage itself.
+    ``box['data']`` hands the resolved dataset to the fold so shard
+    factories still run once on the success path."""
+    data = ds() if callable(ds) else ds
+    box["data"] = data
+    if data.limit(1).count() == 0:
+        return      # the fold's empty path writes its own artifacts
+    ck = Checkpointer(sroot, key)
+    ns, ss, ws = _increment_schemas(cfg)
+    norm_B = ck.stage("normalize", lambda: normalized_docs(data, cfg),
+                      empty_schema=ns)
+    if "minhash" in passes or "simhash" in passes:
+        ck.stage("signatures", lambda: signature_table(norm_B, cfg),
+                 empty_schema=ss)
+    if "substring" in passes:
+        ck.stage("winnow_rows",
+                 lambda: add_stage(norm_B.select_columns(
+                     ["doc_id", "norm_text", "tier"]), Winnower, cfg),
+                 empty_schema=ws)
+
+
 def dedup_sharded(shards, state_root: str,
                   cfg: PipelineConfig | None = None,
                   passes: tuple = ("exact", "minhash", "simhash",
@@ -1082,37 +1111,72 @@ def dedup_sharded(shards, state_root: str,
     if len(set(labels)) != len(labels):
         raise ValueError("dedup_sharded: shard labels must be unique "
                          f"(got {labels!r})")
-    chain: list[str] = []
-    prev_root: str | None = None
-    for i, (label, ds) in enumerate(shards):
+    def _shard_ck(i: int, label) -> tuple[str, str]:
         safe = _re.sub(r"[^A-Za-z0-9._-]+", "_", str(label)).strip("_")[:80]
         sroot = os.path.join(state_root, f"shard-{i:05d}-{safe}")
         key = (f"{cfg.config_hash()}:{label}:"
                + ",".join(sorted(passes)))
-        if not _fold_done(sroot, key):
-            data = ds() if callable(ds) else ds
-            ck = Checkpointer(sroot, key)
-            if not chain:
-                if data.limit(1).count() == 0:
-                    # an empty FIRST shard still writes a valid chain link
-                    # (find_duplicates' empty fast path writes no stages)
-                    ns, ss, ws = _increment_schemas(cfg)
-                    cl = pa.schema([("doc_id", pa.int64()),
-                                    ("cluster_id", pa.int64())])
-                    for name, sch in (("normalize", ns), ("signatures", ss),
-                                      ("winnow_rows", ws), ("clusters", cl)):
-                        ck.stage(name, lambda sch=sch: rd.from_arrow(
-                            sch.empty_table()), empty_schema=sch)
+        return sroot, key
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    chain: list[str] = []
+    prev_root: str | None = None
+    pre: dict[int, tuple] = {}          # shard idx -> (future, box)
+    with ThreadPoolExecutor(max_workers=1) as _pre_pool:
+        for i, (label, ds) in enumerate(shards):
+            sroot, key = _shard_ck(i, label)
+            if not _fold_done(sroot, key):
+                data = None
+                if i in pre:
+                    fut, box = pre.pop(i)
+                    try:
+                        fut.result()
+                    except Exception:
+                        pass    # best-effort: the fold rebuilds the stage
+                    data = box.get("data")
+                if data is None:
+                    data = ds() if callable(ds) else ds
+                # Pipelining: the NEXT shard's fold-independent artifacts
+                # (normalize / signatures / winnow_rows are functions of
+                # that shard's own text, not of any prior fold) build on a
+                # driver thread WHILE this fold runs; the next fold's
+                # ck.stage calls then resume them from the manifest —
+                # byte-identical output, and the shard-local ~40% of each
+                # fold's wall overlaps the chain-dependent part.
+                if i + 1 < len(shards):
+                    lab_n, ds_n = shards[i + 1]
+                    sroot_n, key_n = _shard_ck(i + 1, lab_n)
+                    if not _fold_done(sroot_n, key_n):
+                        box_n: dict = {}
+                        pre[i + 1] = (_pre_pool.submit(
+                            _prebuild_increment, sroot_n, key_n, ds_n,
+                            cfg, passes, box_n), box_n)
+                ck = Checkpointer(sroot, key)
+                if not chain:
+                    if data.limit(1).count() == 0:
+                        # an empty FIRST shard still writes a valid chain
+                        # link (find_duplicates' empty fast path writes no
+                        # stages)
+                        ns, ss, ws = _increment_schemas(cfg)
+                        cl = pa.schema([("doc_id", pa.int64()),
+                                        ("cluster_id", pa.int64())])
+                        for name, sch in (("normalize", ns),
+                                          ("signatures", ss),
+                                          ("winnow_rows", ws),
+                                          ("clusters", cl)):
+                            ck.stage(name, lambda sch=sch: rd.from_arrow(
+                                sch.empty_table()), empty_schema=sch)
+                    else:
+                        find_duplicates(data, cfg, checkpointer=ck,
+                                        passes=passes)
                 else:
-                    find_duplicates(data, cfg, checkpointer=ck,
-                                    passes=passes)
-            else:
-                incremental_update(chain, data, cfg, passes=passes,
-                                   checkpointer=ck)
-        if prune and prev_root is not None:
-            _prune_clusters(prev_root)
-        chain.append(sroot)
-        prev_root = sroot
+                    incremental_update(chain, data, cfg, passes=passes,
+                                       checkpointer=ck)
+            if prune and prev_root is not None:
+                _prune_clusters(prev_root)
+            chain.append(sroot)
+            prev_root = sroot
     # Guard: re-running with a TRUNCATED shard list against a state_root
     # from a longer completed run finds every fold done — but the last
     # requested shard's clusters data was pruned when the longer run's next

@@ -178,3 +178,43 @@ def test_sharded_truncated_shard_list_fails_with_intent(ray_session,
     dedup_sharded(shards, root, cfg).materialize()
     with pytest.raises(ValueError, match="LONGER completed"):
         dedup_sharded(shards[:2], root, cfg)
+
+
+def test_prebuild_artifacts_resumed_by_fold(ray_session, tmp_path):
+    """_prebuild_increment writes normalize/signatures/winnow_rows that the
+    fold's own ck.stage calls RESUME (manifest hit, no rebuild), and the
+    fold output is byte-identical to a fold without any prebuild."""
+    import ray.data as rd
+    from fuzzy_matcher_ray.pipelines.dedup import (
+        _prebuild_increment, find_duplicates, incremental_update)
+    from fuzzy_matcher_ray.state.checkpoint import Checkpointer
+
+    cfg = PipelineConfig()
+    passes = ("exact", "minhash", "simhash", "substring")
+    base = _docs_tbl(300, seed=71, id_offset=0)
+    inc = _docs_tbl(150, seed=72, id_offset=1_000_000)
+
+    root0 = str(tmp_path / "s0")
+    key = cfg.config_hash() + ":t"
+    find_duplicates(rd.from_arrow(base), cfg,
+                    checkpointer=Checkpointer(root0, key), passes=passes)
+
+    # fold WITHOUT prebuild
+    root_a = str(tmp_path / "inc_plain")
+    out_a = _labels(incremental_update(
+        [root0], rd.from_arrow(inc), cfg, passes=passes,
+        checkpointer=Checkpointer(root_a, key)))
+
+    # prebuild first, then fold: every prebuilt stage must resume
+    root_b = str(tmp_path / "inc_pre")
+    box = {}
+    _prebuild_increment(root_b, key, rd.from_arrow(inc), cfg, passes, box)
+    assert box["data"] is not None
+    for stage in ("normalize", "signatures", "winnow_rows"):
+        assert os.path.isfile(os.path.join(root_b, stage, "_MANIFEST.json"))
+    ck_b = Checkpointer(root_b, key)
+    out_b = _labels(incremental_update(
+        [root0], box["data"], cfg, passes=passes, checkpointer=ck_b))
+    for stage in ("normalize", "signatures", "winnow_rows"):
+        assert ck_b.metrics.get(stage, {}).get("resumed") is True, stage
+    assert out_a.equals(out_b)
