@@ -1123,7 +1123,8 @@ def dedup_sharded(shards, state_root: str,
     chain: list[str] = []
     prev_root: str | None = None
     pre: dict[int, tuple] = {}          # shard idx -> (future, box)
-    with ThreadPoolExecutor(max_workers=1) as _pre_pool:
+    _PRE_WINDOW = 2                     # shards prebuilt ahead of the fold
+    with ThreadPoolExecutor(max_workers=_PRE_WINDOW) as _pre_pool:
         for i, (label, ds) in enumerate(shards):
             sroot, key = _shard_ck(i, label)
             if not _fold_done(sroot, key):
@@ -1137,19 +1138,24 @@ def dedup_sharded(shards, state_root: str,
                     data = box.get("data")
                 if data is None:
                     data = ds() if callable(ds) else ds
-                # Pipelining: the NEXT shard's fold-independent artifacts
+                # Pipelining: the next shards' fold-independent artifacts
                 # (normalize / signatures / winnow_rows are functions of
-                # that shard's own text, not of any prior fold) build on a
-                # driver thread WHILE this fold runs; the next fold's
+                # each shard's own text, not of any prior fold) build on
+                # driver threads WHILE this fold runs; those folds'
                 # ck.stage calls then resume them from the manifest —
                 # byte-identical output, and the shard-local ~40% of each
-                # fold's wall overlaps the chain-dependent part.
-                if i + 1 < len(shards):
-                    lab_n, ds_n = shards[i + 1]
-                    sroot_n, key_n = _shard_ck(i + 1, lab_n)
+                # fold's wall overlaps the chain-dependent part. The
+                # window stays small so prebuild work never starves the
+                # live fold and checkpoint disk stays O(window · shard).
+                for j in range(i + 1, min(i + 1 + _PRE_WINDOW,
+                                          len(shards))):
+                    if j in pre:
+                        continue
+                    lab_n, ds_n = shards[j]
+                    sroot_n, key_n = _shard_ck(j, lab_n)
                     if not _fold_done(sroot_n, key_n):
                         box_n: dict = {}
-                        pre[i + 1] = (_pre_pool.submit(
+                        pre[j] = (_pre_pool.submit(
                             _prebuild_increment, sroot_n, key_n, ds_n,
                             cfg, passes, box_n), box_n)
                 ck = Checkpointer(sroot, key)
