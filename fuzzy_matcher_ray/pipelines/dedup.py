@@ -977,28 +977,169 @@ def incremental_update(prior_root: str | list[str], new_docs,
         for e in edge_sets:
             new_edges = e if new_edges is None else new_edges.union(e)
 
+    # touched-only relabel pays ~3 extra fixed-cost Dataset executions per
+    # fold (endpoint collect, touched-cid scan, the split) to avoid the
+    # corpus-wide star-edge shuffle + union-find; below the gate the full
+    # relabel is cheaper on one node (probe at 40k/3 shards: 1.87× vs
+    # 2.17× chain ratio), above it the O(total)-per-fold relabel is the
+    # dominant chain term. FMR_INC_TOUCHED_MIN_PRIOR=0 forces the
+    # touched-only twin for parity tests.
+    import os as _os
+    min_prior = int(_os.environ.get("FMR_INC_TOUCHED_MIN_PRIOR",
+                                    INC_TOUCHED_MIN_PRIOR))
+    touched_mode = clusters_A.count() >= min_prior
+
     if new_edges is not None:
         raw_edges = new_edges
         new_edges = (ck.stage("edges_all", lambda: dedup_pairs(raw_edges),
                               empty_schema=edge_schema)
-                     if ck is not None else dedup_pairs(raw_edges))
+                     if ck is not None else
+                     # in touched mode _incremental_labels consumes the
+                     # edges twice (endpoint collect + the label union);
+                     # without a checkpoint backing them with parquet, a
+                     # lazy edge dataset would re-run the whole pair
+                     # machinery per consumption
+                     (dedup_pairs(raw_edges).materialize() if touched_mode
+                      else dedup_pairs(raw_edges)))
 
-    # prior components enter as star edges (cluster_id IS the component's
-    # min doc_id, so (cluster_id, doc_id) reconnects them exactly)
-    prior_star = clusters_A.map_batches(
+    ids_B = norm_B.select_columns(["doc_id"])
+
+    def _label():
+        return _incremental_labels(clusters_A, new_edges, ids_B, cfg,
+                                   cluster_strategy, touched_mode)
+
+    return ck.stage("clusters", _label) if ck is not None else _label()
+
+
+# New-edge endpoint budget for the touched-component relabel: past it the
+# increment has rewired a major fraction of the corpus and the full relabel
+# is the honest cost anyway. Read at call time (not import) so parity tests
+# can force the fallback with FMR_INC_TOUCHED_MAX=0 in-process.
+INC_TOUCHED_MAX = 4_000_000
+# Prior-corpus row gate below which the full relabel wins on fixed costs
+# (see the probe numbers at the call site); FMR_INC_TOUCHED_MIN_PRIOR=0
+# forces the touched-only twin in-process.
+INC_TOUCHED_MIN_PRIOR = 2_000_000
+
+
+def _incremental_labels(clusters_A, new_edges, ids_B, cfg,
+                        strategy: str, touched_mode: bool = True):
+    """Label prior ∪ increment WITHOUT relabeling untouched components.
+
+    The naive fold relabels the whole corpus-so-far every link (star edges
+    for every prior component + union-find + a corpus-wide label join) —
+    O(total) per fold, O(k²) across a k-shard chain, the dominant chain
+    term at 10^12 docs. But a component no new edge touches keeps its exact
+    membership, hence its exact min-doc_id label. So: collect the new
+    edges' endpoint set (O(increment dups), driver-budgeted), find the
+    prior cluster ids those endpoints belong to (one streaming
+    broadcast-membership scan — no shuffle), pass every other prior row's
+    label THROUGH untouched, and run star-edges + union-find + the label
+    join over only the touched components and the increment. Byte-identical
+    to the full relabel (asserted by test_incremental parity plus a
+    dedicated fallback-vs-fast test); past the endpoint budget — or below
+    the prior-corpus size gate, where the full relabel's single fused
+    execution beats the touched path's extra fixed costs — it runs the
+    full relabel.
+    """
+    import os
+
+    import ray
+
+    base = clusters_A.select_columns(["doc_id", "cluster_id"])
+
+    def _full_relabel():
+        # prior components enter as star edges (cluster_id IS the
+        # component's min doc_id, so (cluster_id, doc_id) reconnects them
+        # exactly)
+        prior_star = base.map_batches(
+            lambda t: pa.table(
+                {"a": t["cluster_id"], "b": t["doc_id"]}).filter(
+                    pc.not_equal(t["cluster_id"], t["doc_id"])),
+            batch_format="pyarrow")
+        all_edges = prior_star if new_edges is None \
+            else new_edges.union(prior_star)
+        all_ids = base.select_columns(["doc_id"]).union(ids_B)
+        return cluster_edges(all_edges, all_ids, cfg, strategy=strategy)
+
+    if not touched_mode:
+        return _full_relabel()
+
+    budget = int(os.environ.get("FMR_INC_TOUCHED_MAX", INC_TOUCHED_MAX))
+    en = np.empty(0, np.int64)
+    if new_edges is not None:
+        chunks, total = [], 0
+        over = False
+        for t in new_edges.iter_batches(batch_size=1 << 20,
+                                        batch_format="pyarrow"):
+            u = np.unique(np.concatenate(
+                [t["a"].to_numpy(zero_copy_only=False),
+                 t["b"].to_numpy(zero_copy_only=False)]))
+            chunks.append(u)
+            total += len(u)
+            if total > budget:
+                over = True
+                break
+        if not over and chunks:
+            en = np.unique(np.concatenate(chunks))
+            over = len(en) > budget
+        if over:
+            return _full_relabel()
+
+    if not len(en):
+        # no new edges at all: prior labels pass through verbatim and
+        # every increment doc is its own singleton — no join, no
+        # union-find, and no empty-edge dataset to trip the join schema
+        singles = ids_B.map_batches(
+            lambda t: pa.table({"doc_id": t["doc_id"],
+                                "cluster_id": t["doc_id"]}),
+            batch_format="pyarrow")
+        return base.union(singles)
+
+    en_ref = ray.put(en)
+
+    def _member(col, ks: np.ndarray) -> np.ndarray:
+        ids = col.to_numpy(zero_copy_only=False)
+        if not len(ks):
+            return np.zeros(len(ids), bool)
+        idx = np.clip(np.searchsorted(ks, ids), 0, len(ks) - 1)
+        return ks[idx] == ids
+
+    def _touched_cids(t: pa.Table) -> pa.Table:
+        hit = _member(t["doc_id"], ray.get(en_ref))
+        cids = t["cluster_id"].to_numpy(zero_copy_only=False)[hit]
+        return pa.table({"cluster_id": pa.array(np.unique(cids),
+                                                pa.int64())})
+
+    tc_parts = [b["cluster_id"].to_numpy(zero_copy_only=False)
+                for b in base.map_batches(_touched_cids,
+                                          batch_format="pyarrow")
+                .iter_batches(batch_size=1 << 20, batch_format="pyarrow")
+                if len(b)]
+    tc = (np.unique(np.concatenate(tc_parts)) if tc_parts
+          else np.empty(0, np.int64))
+    tc_ref = ray.put(tc)
+
+    def _split(keep_touched: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            hit = _member(t["cluster_id"], ray.get(tc_ref))
+            return t.filter(pa.array(hit if keep_touched else ~hit))
+        return _f
+
+    untouched = base.map_batches(_split(False), batch_format="pyarrow")
+    # touched rows feed both the star edges and the label-join id list —
+    # pin them (slim two-int64 rows, O(touched members)) so the membership
+    # scan over the prior clusters runs once, not per consumer
+    touched = base.map_batches(_split(True),
+                               batch_format="pyarrow").materialize()
+    star = touched.map_batches(
         lambda t: pa.table({"a": t["cluster_id"], "b": t["doc_id"]}).filter(
             pc.not_equal(t["cluster_id"], t["doc_id"])),
         batch_format="pyarrow")
-    all_edges = prior_star if new_edges is None \
-        else new_edges.union(prior_star)
-    all_ids = clusters_A.select_columns(["doc_id"]).union(
-        norm_B.select_columns(["doc_id"]))
-
-    def _label():
-        return cluster_edges(all_edges, all_ids, cfg,
-                             strategy=cluster_strategy)
-
-    return ck.stage("clusters", _label) if ck is not None else _label()
+    sub_edges = new_edges.union(star)
+    sub_ids = touched.select_columns(["doc_id"]).union(ids_B)
+    sub = cluster_edges(sub_edges, sub_ids, cfg, strategy=strategy)
+    return untouched.union(sub)
 
 
 def _fold_done(root: str, key: str) -> bool:

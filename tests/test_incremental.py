@@ -223,3 +223,56 @@ def test_incremental_resigns_pre_lsh_checkpoint(ray_session, tmp_path):
     n_clusters_e = len({le[d] for d in new_ids})
     n_clusters_w = len({lab[d] for d in new_ids})
     assert n_clusters_w < n_clusters_e, (n_clusters_w, n_clusters_e)
+
+
+def test_incremental_touched_only_relabel_parity(ray_session, tmp_path,
+                                                 monkeypatch):
+    """The touched-component relabel (untouched prior components pass their
+    labels through; union-find runs over touched + increment only) must be
+    byte-identical to the full-relabel fallback (FMR_INC_TOUCHED_MAX=0
+    forces it) — and the fast path must actually produce untouched
+    pass-through rows (the prior corpus has components the increment never
+    touches)."""
+    import ray.data as rd
+
+    from fuzzy_matcher_ray.pipelines.dedup import (find_duplicates,
+                                                   incremental_update)
+    from fuzzy_matcher_ray.state.checkpoint import Checkpointer
+
+    cfg = PipelineConfig()
+    a = _docs_tbl(400, seed=71)
+    # plant cross-corpus duplicates: the increment carries verbatim copies
+    # of 30 prior docs (new ids/urls) so SOME prior components are touched
+    fresh = _docs_tbl(120, seed=72, id_offset=1_000_000)
+    copies = a.slice(0, 30)
+    b = pa.table({
+        "doc_id": pa.array(list(fresh["doc_id"].to_pylist())
+                           + list(range(2_000_000, 2_000_030)), pa.int64()),
+        "url": pa.array(fresh["url"].to_pylist()
+                        + [f"https://copy.example/{i}" for i in range(30)]),
+        "text": pa.array(fresh["text"].to_pylist()
+                         + copies["text"].to_pylist()),
+        "lang": pa.array(fresh["lang"].to_pylist()
+                         + copies["lang"].to_pylist())})
+    root = str(tmp_path / "ck")
+    find_duplicates(rd.from_arrow(a), cfg,
+                    checkpointer=Checkpointer(root, cfg.config_hash())) \
+        .materialize()
+
+    monkeypatch.setenv("FMR_INC_TOUCHED_MIN_PRIOR", "0")  # force touched
+    fast = incremental_update(root, rd.from_arrow(b), cfg).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setenv("FMR_INC_TOUCHED_MAX", "0")         # force fallback
+    full = incremental_update(root, rd.from_arrow(b), cfg).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(fast) == 550
+    assert fast.equals(full)
+    assert fast.doc_id.is_unique
+    # sanity: the corpus really exercises both branches — some prior
+    # components are touched by cross-corpus edges, some are not
+    prior = fast[fast.doc_id < 1_000_000]
+    linked = set(fast[fast.doc_id >= 1_000_000].cluster_id) & \
+        set(prior.cluster_id)
+    assert linked, "increment never linked to the prior corpus"
+    assert len(set(prior.cluster_id) - linked) > 0, \
+        "every prior component was touched — untouched branch unexercised"

@@ -218,3 +218,45 @@ def test_prebuild_artifacts_resumed_by_fold(ray_session, tmp_path):
     for stage in ("normalize", "signatures", "winnow_rows"):
         assert ck_b.metrics.get(stage, {}).get("resumed") is True, stage
     assert out_a.equals(out_b)
+
+
+def test_sharded_touched_only_relabel_parity(ray_session, tmp_path,
+                                             monkeypatch):
+    """The chain with the touched-component relabel forced on every fold
+    (FMR_INC_TOUCHED_MIN_PRIOR=0 — the path a 10^12-doc chain takes, where
+    the prior corpus is far past the gate) stays byte-identical to the
+    monolithic run, with planted cross-shard duplicates so folds really
+    rewire prior components."""
+    import ray.data as rd
+    from fuzzy_matcher_ray.pipelines.dedup import (dedup_sharded,
+                                                   find_duplicates)
+
+    t0 = _docs_tbl(300, seed=71, id_offset=0)
+    t1 = _docs_tbl(200, seed=72, id_offset=1_000_000)
+    # shard 2 = fresh docs + verbatim copies of 25 shard-0 texts
+    fresh = _docs_tbl(100, seed=73, id_offset=2_000_000)
+    copies = t0.slice(0, 25)
+    t2 = pa.table({
+        "doc_id": pa.array(list(fresh["doc_id"].to_pylist())
+                           + list(range(3_000_000, 3_000_025)), pa.int64()),
+        "url": pa.array(fresh["url"].to_pylist()
+                        + [f"https://copy.example/{i}" for i in range(25)]),
+        "text": pa.array(fresh["text"].to_pylist()
+                         + copies["text"].to_pylist()),
+        "lang": pa.array(fresh["lang"].to_pylist()
+                         + copies["lang"].to_pylist())})
+    tbls = [t0, t1, t2]
+    cfg = PipelineConfig()
+
+    monkeypatch.setenv("FMR_INC_TOUCHED_MIN_PRIOR", "0")
+    shards = [(f"s{i}", rd.from_arrow(t)) for i, t in enumerate(tbls)]
+    got = _labels(dedup_sharded(shards, str(tmp_path / "state"), cfg))
+    monkeypatch.delenv("FMR_INC_TOUCHED_MIN_PRIOR")
+    want = _labels(find_duplicates(rd.from_arrow(pa.concat_tables(tbls)),
+                                   cfg))
+    assert len(got) == 625
+    assert got.equals(want)
+    # the planted copies really landed in shard-0 components
+    m = dict(zip(want["doc_id"], want["cluster_id"]))
+    assert any(m[3_000_000 + i] == m[t0["doc_id"][i].as_py()]
+               for i in range(25))
